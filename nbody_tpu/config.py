@@ -1,0 +1,162 @@
+"""Runtime configuration for the TPU N-body framework.
+
+The reference configures itself with three compile-time ``#define``s
+(``N_BODIES`` / ``N_THREADS`` / ``N_SIMULATIONS``, reference project.cu:1-11)
+plus ``const`` globals edited in source (physics constants project.cu:27-35,
+tree constants project.cu:60-62) and mode selection by commenting lines in
+``main`` (project.cu:1061-1066).  Here every knob is a runtime dataclass
+field, so sweeps (the reference's first/second_scaling_script.sh) never
+recompile anything.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Physics constants (reference project.cu:27-35, main_approach_1.cpp:11-21)
+# ---------------------------------------------------------------------------
+G_DEFAULT = 6.67e-11
+N_DIM = 2
+DT_DEFAULT = 1.0
+
+# Init ranges of the main artifact (project.cu:30-35).  main_approach_*.cpp
+# use a wider mass range (1e-6 .. 1e6, main_approach_1.cpp:16-17).
+LOWER_M = 1e-1
+HIGHER_M = 5e-1
+LOWER_P = -1e-1
+HIGHER_P = 1e-1
+LOWER_V = -1e-4
+HIGHER_V = 1e-4
+
+# ---------------------------------------------------------------------------
+# Barnes-Hut constants (reference project.cu:60-62)
+# ---------------------------------------------------------------------------
+THETA_DEFAULT = 0.5
+# The reference's QUADTREE_MAX_DEPTH=10 counts the root as depth 1 (QuadInsert
+# is seeded with current_depth=1, project.cu:587; aggregation triggers when
+# inserting into a node at current_depth >= 10, project.cu:360).  In 0-based
+# dump terms (TraverseTreeToFile starts at depth 0, project.cu:505) the
+# deepest node therefore sits at depth 9, i.e. the finest subdivision grid is
+# 2**9 = 512 cells per axis and the complete tree has (4**10 - 1) / 3 =
+# 349,525 nodes == the reference's QUADTREE_MAX_SIZE (project.cu:62).
+MAX_DEPTH_DEFAULT = 9
+# Softening added to the *distance* (not distance**2) in the Barnes-Hut
+# force (project.cu:634/748: distance = sqrt(d2) + 1e-15).  The naive engine
+# (main_approach_1.cpp:66-67) uses no softening.
+BH_SOFTENING = 1e-15
+# Nodes with total mass below this are skipped during traversal
+# (project.cu:617/731: ``if (nodeMass <= 1e-15) continue``).
+MASS_SKIP_THRESHOLD = 1e-15
+# Bounding-box pad fraction (project.cu:558: padFraction = 0.1).
+ROOT_PAD_FRACTION = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class InitRanges:
+    """Random-initialisation ranges (reference project.cu:30-35).
+
+    Masses are log-uniform (generateLogRandom, project.cu:99-101); positions
+    and velocities are uniform (generateRandom, project.cu:80-82).
+    """
+
+    lower_m: float = LOWER_M
+    higher_m: float = HIGHER_M
+    lower_p: float = LOWER_P
+    higher_p: float = HIGHER_P
+    lower_v: float = LOWER_V
+    higher_v: float = HIGHER_V
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for multi-chip runs.
+
+    The reference is single-process / single-GPU; its only distribution axis
+    is threads-over-bodies (grid-stride loop, project.cu:703).  Here the
+    first-class axes are:
+
+    * ``dp``  — bodies sharded over devices, positions all-gathered per step
+      (the strong/weak-scaling analogue of first/second_scaling_script.sh).
+    * ring / 2-D interaction sharding are selected per-engine, see
+      :mod:`nbody_tpu.parallel`.
+    """
+
+    dp: int = 1
+    axis_name: str = "dp"
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Every knob of the reference, runtime-switchable."""
+
+    # Problem size / schedule (reference #defines, project.cu:1-11).
+    n_bodies: int = 1024
+    n_steps: int = 10
+    dt: float = DT_DEFAULT
+    g: float = G_DEFAULT
+
+    # Engine selection (reference: pick one of three programs / comment lines
+    # in main, README.md:14-18).
+    engine: str = "allpairs"  # "naive" | "allpairs" | "barnes_hut"
+
+    # Barnes-Hut knobs (project.cu:60-62).
+    theta: float = THETA_DEFAULT
+    max_depth: int = MAX_DEPTH_DEFAULT
+    softening: float = BH_SOFTENING
+
+    # Precision policy.  The reference is all-fp64; TPU-native default is f32
+    # with the f64 oracle used for parity budgets (SURVEY.md section 7).
+    dtype: str = "float32"  # "float32" | "float64" | "bfloat16"
+
+    # RNG (reference seeds std::rand with time(0), project.cu:1051; we use a
+    # counter-based JAX PRNG for reproducibility).
+    seed: int = 0
+    init: InitRanges = dataclasses.field(default_factory=InitRanges)
+
+    # Kernel tiling (the TPU analogue of the reference's occupancy model,
+    # project.cu:163-217: pick a block size from hardware limits).
+    target_block: int = 256
+    source_block: int = 1024
+
+    # Barnes-Hut traversal frontier capacity (the TPU analogue of the
+    # reference's fixed in-register stack of 3*MAX_DEPTH+1 ints,
+    # project.cu:708).
+    frontier_cap: int = 256
+
+    # Parallelism.
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    # I/O toggles (reference: save init files project.cu:236-246, positions
+    # every step project.cu:909, tree dumps first/last step project.cu:962).
+    save_positions: bool = False
+    save_tree_dumps: bool = False
+    output_dir: str = "."
+
+    # Checkpoint / resume (superset of the reference's init-file persistence,
+    # SURVEY.md section 5.4).
+    checkpoint_every: int = 0  # 0 = disabled
+    checkpoint_path: Optional[str] = None
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_cells_finest(self) -> int:
+        return 1 << self.max_depth  # cells per axis at the deepest level
+
+    @property
+    def n_tree_nodes(self) -> int:
+        """Complete-tree node count; equals the reference QUADTREE_MAX_SIZE
+        ((4**(max_depth+1) - 1) / 3, project.cu:62) for max_depth=9."""
+        return (4 ** (self.max_depth + 1) - 1) // 3
+
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return {
+            "float32": jnp.float32,
+            "float64": jnp.float64,
+            "bfloat16": jnp.bfloat16,
+        }[self.dtype]

@@ -1,0 +1,81 @@
+"""Force engines: naive dense, tiled Pallas all-pairs, Barnes-Hut.
+
+The reference ships three progressively optimized engines selected by
+recompiling / editing main (README.md:14-18); here they are runtime-
+selectable acceleration functions with one signature:
+
+    accel_fn(positions [N,2], masses [N]) -> accelerations [N,2]
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..physics import pair_accelerations_dense
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def make_accel_fn(config: SimConfig) -> Callable:
+    """Build the configured engine's acceleration function."""
+    engine = config.engine
+    g = config.g
+
+    if engine == "naive":
+        # main_approach_1.cpp semantics: dense O(N^2), no softening.
+        def accel(positions, masses):
+            return pair_accelerations_dense(
+                positions, masses, g=g, softening=0.0
+            )
+
+        return accel
+
+    if engine == "allpairs":
+        from ..ops.allpairs import allpairs_accelerations
+
+        interpret = not _on_tpu()
+        softening = 0.0  # naive-pair semantics (main_approach_1.cpp:66-67)
+
+        def accel(positions, masses):
+            n = positions.shape[0]
+            if n < 512:
+                # Tiny problems: the dense XLA path beats kernel overheads
+                # (the analogue of the reference running small N on CPU).
+                return pair_accelerations_dense(
+                    positions, masses, g=g, softening=softening
+                )
+            return allpairs_accelerations(
+                positions,
+                masses,
+                g=g,
+                softening=softening,
+                target_block=config.target_block,
+                source_block=config.source_block,
+                interpret=interpret,
+            )
+
+        return accel
+
+    if engine == "barnes_hut":
+        from ..ops.barnes_hut import bh_accelerations
+
+        def accel(positions, masses):
+            return bh_accelerations(
+                positions,
+                masses,
+                g=g,
+                theta=config.theta,
+                max_depth=config.max_depth,
+                softening=config.softening,
+                frontier_cap=config.frontier_cap,
+            )
+
+        return accel
+
+    raise ValueError(f"unknown engine {engine!r}")

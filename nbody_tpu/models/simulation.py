@@ -1,0 +1,132 @@
+"""Simulation driver: the reference step loop, two execution modes.
+
+* ``run_contract`` — per-step host loop with the reference's side effects:
+  positions appended every step incl. step 0 (savePositions project.cu:876,
+  909), quadtree dumps at the first and last step (project.cu:890-893,
+  962-965), two-tier timing (force+update bracketed per step).  This is the
+  runSimulationCpu/Gpu shape (project.cu:865-1024).
+
+* ``run_scan`` — the whole step loop as one ``lax.scan`` under jit: no
+  host<->device crossings at all (the reference pays 2 memcpys per step,
+  project.cu:968/1010 — the TPU-native loop pays zero), used for benchmarks
+  and as the flagship compiled step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..physics import integrate
+from ..rng import random_state
+from ..state import SimState
+from ..utils.textio import PositionsWriter
+from ..utils.timing import RunTiming, Stopwatch
+from .engines import make_accel_fn
+
+
+class Simulation:
+    def __init__(self, config: SimConfig, state: Optional[SimState] = None):
+        self.config = config
+        self.state = state if state is not None else random_state(config)
+        self._accel_fn = make_accel_fn(config)
+        dt = config.dt
+
+        def step(state: SimState) -> SimState:
+            acc = self._accel_fn(state.positions, state.masses)
+            return integrate(state, acc, dt)
+
+        self.step_fn = jax.jit(step)
+
+        def scan_steps(state: SimState, n_steps: int) -> SimState:
+            def body(s, _):
+                return step(s), None
+
+            final, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return final
+
+        self._scan_steps = jax.jit(scan_steps, static_argnums=1)
+
+    # ------------------------------------------------------------------
+    def run_contract(self) -> Tuple[SimState, RunTiming]:
+        """Reference-shaped run with file side effects and timing."""
+        cfg = self.config
+        state = self.state
+        timing = RunTiming()
+        watch = Stopwatch()
+
+        writer = None
+        if cfg.save_positions:
+            writer = PositionsWriter(
+                os.path.join(cfg.output_dir, "positions.txt")
+            )
+            writer.append(float(state.time), np.asarray(state.positions))
+
+        import time as _time
+
+        t_total0 = _time.perf_counter()
+
+        for step_idx in range(cfg.n_steps):
+            if cfg.save_tree_dumps and step_idx in (0, cfg.n_steps - 1):
+                self._dump_tree(state, first=(step_idx == 0))
+
+            watch.start()
+            state = self.step_fn(state)
+            jax.block_until_ready(state.positions)
+            watch.stop()
+
+            if writer is not None:
+                writer.append(float(state.time), np.asarray(state.positions))
+
+            if (
+                cfg.checkpoint_every
+                and (step_idx + 1) % cfg.checkpoint_every == 0
+            ):
+                from ..utils.checkpoint import save_checkpoint
+
+                save_checkpoint(self._checkpoint_path(), state)
+
+        timing.total_ms = (_time.perf_counter() - t_total0) * 1e3
+        timing.parallel_us = watch.accum_us
+
+        if writer is not None:
+            writer.flush()
+
+        self.state = state
+        return state, timing
+
+    # ------------------------------------------------------------------
+    def run_scan(self, n_steps: Optional[int] = None) -> SimState:
+        """Entire run as one compiled program (no per-step host sync)."""
+        n = n_steps if n_steps is not None else self.config.n_steps
+        self.state = self._scan_steps(self.state, n)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _checkpoint_path(self) -> str:
+        cfg = self.config
+        return cfg.checkpoint_path or os.path.join(
+            cfg.output_dir, "checkpoint.npz"
+        )
+
+    def _dump_tree(self, state: SimState, first: bool) -> None:
+        """Write the quadtree dump for this step (TraverseTreeToFile
+        contract).  The adaptive structure is reconstructed on host — the
+        reference also builds this tree on the host every step
+        (project.cu:959)."""
+        from .oracle import AdaptiveQuadtree
+
+        cfg = self.config
+        tree = AdaptiveQuadtree(max_depth=cfg.max_depth).build(
+            np.asarray(state.positions), np.asarray(state.masses)
+        )
+        name = "quadtree_init.txt" if first else "quadtree_final.txt"
+        path = os.path.join(cfg.output_dir, name)
+        with open(path, "w") as f:
+            f.write("\n".join(tree.dump_lines(np.asarray(state.positions))))
+            f.write("\n")

@@ -1,0 +1,209 @@
+"""Tiled all-pairs gravity kernel (Pallas, TPU).
+
+TPU-native redesign of the reference's O(N^2) engines: the CPU triple loop
+(main_approach_1.cpp:53-75) and the thread-per-body CUDA mapping
+(project.cu:703).  Instead of one body per thread, bodies are processed as
+(target-block x source-block) interaction tiles resident in VMEM:
+
+* displacement / inverse-cube weights on the VPU (8x128 lanes),
+* the force reduction as a lane reduction of w*(p_s - p_t) per target row.
+  (A matmul formulation ``(W @ x_s) - x_t * (W @ 1)`` would ride the MXU
+  but cancels catastrophically — W is dominated by nearest neighbours
+  where x_s ~= x_t — so the reduction stays on the VPU, matching the
+  reference's per-pair ``factor * displacement`` numerics.)
+
+The reference's shared-memory staging of the tree (project.cu:691-700) and
+its occupancy model (project.cu:163-217) map to the BlockSpec tiling below:
+source/target tiles are pinned to VMEM and block sizes are the tuning knob
+(SimConfig.target_block / source_block).
+
+Semantics vs reference:
+* softening == 0.0 -> main_approach_1.cpp factoring G*m_j/d^3 * disp.
+* softening == eps -> Barnes-Hut leaf-pair factoring with the softened
+  distance: G*m_j / (d2 * (sqrt(d2)+eps)) * disp (project.cu:651-658).
+* Self-interaction is excluded exactly by the d2 > 0 guard (a body has zero
+  displacement from itself).  Deviation: the reference naive engine emits
+  inf/NaN for *distinct* coincident bodies (no softening, 1/d^2 at d=0,
+  main_approach_1.cpp:66-67); we define that force as 0 instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Sentinel position for padded bodies: far enough that 1/d^3 underflows to
+# zero against any real body, small enough that d^2 stays finite in f32.
+_PAD_SENTINEL = 1e15
+
+# Columns of the packed source matrix (8 sublanes, rows 4..7 zero padding).
+_SRC_X, _SRC_Y, _SRC_GM, _SRC_ONE = 0, 1, 2, 3
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _allpairs_kernel(
+    tgt_ref,  # (TB, 8) f32: cols [x, y, 0...]
+    src_ref,  # (8, SB) f32: rows [x, y, g*m, 1, 0...]
+    out_ref,  # (TB, 8) f32: cols [acc_x, acc_y, 0...]
+    acc_ref,  # VMEM scratch (TB, 8) f32 partial sums [Swx, Swy, _, Sw, ...]
+    *,
+    softening: float,
+    n_src_tiles: int,
+):
+    s = pl.program_id(1)
+
+    tx = tgt_ref[:, _SRC_X : _SRC_X + 1]  # (TB, 1)
+    ty = tgt_ref[:, _SRC_Y : _SRC_Y + 1]
+    sx = src_ref[_SRC_X : _SRC_X + 1, :]  # (1, SB)
+    sy = src_ref[_SRC_Y : _SRC_Y + 1, :]
+    gm = src_ref[_SRC_GM : _SRC_GM + 1, :]
+
+    # Pairwise displacements on the VPU.  Computed by direct subtraction
+    # (not the |a|^2+|b|^2-2ab matmul identity) to avoid catastrophic
+    # cancellation for close pairs.
+    dx = sx - tx  # (TB, SB)
+    dy = sy - ty
+    d2 = dx * dx + dy * dy
+    valid = d2 > 0.0  # kills self-pairs exactly and coincident pads
+    inv_d = jax.lax.rsqrt(d2)
+    if softening:
+        # Barnes-Hut factoring: G*m / (d2 * (d + eps))
+        d = d2 * inv_d
+        w = gm / (d2 * (d + softening))
+    else:
+        # Naive factoring: G*m / d^3
+        w = gm * (inv_d * inv_d * inv_d)
+    w = jnp.where(valid, w, 0.0)
+
+    # Per-target-row lane reduction of w * displacement (no cancellation:
+    # each pair contributes w*dx directly, like the reference's
+    # ``sum += factor * displacement``, main_approach_1.cpp:69-71).
+    acc_x = jnp.sum(w * dx, axis=1, keepdims=True)  # (TB, 1)
+    acc_y = jnp.sum(w * dy, axis=1, keepdims=True)
+
+    @pl.when(s == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        acc_ref[:, _SRC_X : _SRC_X + 1] = acc_x
+        acc_ref[:, _SRC_Y : _SRC_Y + 1] = acc_y
+
+    @pl.when(s != 0)
+    def _acc():
+        acc_ref[:, _SRC_X : _SRC_X + 1] = (
+            acc_ref[:, _SRC_X : _SRC_X + 1] + acc_x
+        )
+        acc_ref[:, _SRC_Y : _SRC_Y + 1] = (
+            acc_ref[:, _SRC_Y : _SRC_Y + 1] + acc_y
+        )
+
+    @pl.when(s == n_src_tiles - 1)
+    def _epilogue():
+        out_ref[:, :] = acc_ref[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g",
+        "softening",
+        "target_block",
+        "source_block",
+        "interpret",
+    ),
+)
+def allpairs_accelerations(
+    positions: jax.Array,  # (N, 2)
+    masses: jax.Array,  # (N,)
+    *,
+    g: float,
+    softening: float = 0.0,
+    target_block: int = 256,
+    source_block: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """O(N^2) accelerations via the tiled Pallas kernel.  Returns (N, 2)."""
+    n = positions.shape[0]
+    positions = positions.astype(jnp.float32)
+    masses = masses.astype(jnp.float32)
+
+    np_ = _round_up(max(n, max(target_block, source_block)),
+                    max(target_block, source_block))
+
+    # Packed target matrix (Np, 8): [x, y, 0, ...].
+    tgt = jnp.zeros((np_, 8), dtype=jnp.float32)
+    tgt = tgt.at[:n, 0:2].set(positions)
+    tgt = tgt.at[n:, 0:2].set(_PAD_SENTINEL)
+
+    # Packed source matrix (8, Np): [x, y, g*m, 1, 0...]; padded bodies get
+    # the far sentinel position and zero mass so they contribute nothing.
+    src = jnp.zeros((8, np_), dtype=jnp.float32)
+    src = src.at[0:2, :n].set(positions.T)
+    src = src.at[0:2, n:].set(_PAD_SENTINEL)
+    src = src.at[2, :n].set(jnp.asarray(g, jnp.float32) * masses)
+    src = src.at[3, :n].set(1.0)
+
+    n_tgt_tiles = np_ // target_block
+    n_src_tiles = np_ // source_block
+
+    kernel = functools.partial(
+        _allpairs_kernel,
+        softening=float(softening),
+        n_src_tiles=n_src_tiles,
+    )
+
+    pairs = np_ * np_
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tgt_tiles, n_src_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (target_block, 8),
+                lambda t, s: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, source_block),
+                lambda t, s: (0, s),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (target_block, 8), lambda t, s: (t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((np_, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((target_block, 8), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * pairs + 2 * pairs * 8,
+            bytes_accessed=(np_ * 8 * 4) * 2 + (8 * np_ * 4),
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )(tgt, src)
+
+    return out[:n, 0:2]
+
+
+def allpairs_accelerations_reference(
+    positions: jax.Array,
+    masses: jax.Array,
+    *,
+    g: float,
+    softening: float = 0.0,
+) -> jax.Array:
+    """Dense XLA fallback (small N / non-TPU backends); same semantics."""
+    from ..physics import pair_accelerations_dense
+
+    return pair_accelerations_dense(
+        positions, masses, g=g, softening=softening
+    )

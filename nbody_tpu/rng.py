@@ -1,0 +1,48 @@
+"""Random initial conditions.
+
+Reproduces the reference's distributions (project.cu:80-101):
+
+* masses: log-uniform — 10 ** U(log10(lo), log10(hi))   (generateLogRandom)
+* positions / velocities: uniform U(lo, hi)              (generateRandom)
+
+The reference seeds ``std::rand`` with wall-clock time (project.cu:1051) and
+the GPU path seeds one cuRAND state per body (project.cu:219-228); here a
+counter-based JAX PRNG key gives bit-reproducible init for any (seed, N)
+independent of device count or layout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .config import InitRanges, SimConfig
+from .state import SimState, make_state
+
+
+def log_uniform(key, shape, lower: float, higher: float, dtype=jnp.float32):
+    """10 ** U(log10(lower), log10(higher)) — reference generateLogRandom
+    (project.cu:99-101)."""
+    lo = jnp.log10(jnp.asarray(lower, dtype=jnp.float32))
+    hi = jnp.log10(jnp.asarray(higher, dtype=jnp.float32))
+    u = jax.random.uniform(key, shape, dtype=jnp.float32)
+    return jnp.power(10.0, lo + u * (hi - lo)).astype(dtype)
+
+
+def uniform(key, shape, lower: float, higher: float, dtype=jnp.float32):
+    """U(lower, higher) — reference generateRandom (project.cu:80-82)."""
+    u = jax.random.uniform(key, shape, dtype=jnp.float32)
+    return (lower + u * (higher - lower)).astype(dtype)
+
+
+def random_state(config: SimConfig) -> SimState:
+    """Fresh random bodies per the configured ranges (initializeCpu /
+    initializeGpu, project.cu:298-341)."""
+    dtype = config.jnp_dtype()
+    n = config.n_bodies
+    r: InitRanges = config.init
+    k_m, k_p, k_v = jax.random.split(jax.random.PRNGKey(config.seed), 3)
+    masses = log_uniform(k_m, (n,), r.lower_m, r.higher_m, dtype)
+    positions = uniform(k_p, (n, 2), r.lower_p, r.higher_p, dtype)
+    velocities = uniform(k_v, (n, 2), r.lower_v, r.higher_v, dtype)
+    return make_state(masses, positions, velocities, dtype=dtype)

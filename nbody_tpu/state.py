@@ -1,0 +1,79 @@
+"""Simulation state: structure-of-arrays body data, registered as a pytree.
+
+Mirrors the reference's layout — masses [N], positions [N,2], velocities
+[N,2] (reference project.cu:38-43 ``std::array`` SoA) — so the text-file
+contracts (SURVEY.md section 2.11) map 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SimState:
+    """Bodies + simulation clock.
+
+    ``time`` is the running absolute time (reference ``absolute_t``,
+    project.cu:947/956) and ``step`` the integer step counter; both ride
+    along in the jitted step so checkpoints are self-describing.
+    """
+
+    masses: jax.Array  # [N]
+    positions: jax.Array  # [N, 2]
+    velocities: jax.Array  # [N, 2]
+    time: jax.Array  # scalar
+    step: jax.Array  # scalar int32
+
+    @property
+    def n_bodies(self) -> int:
+        return self.masses.shape[0]
+
+    @property
+    def dtype(self):
+        return self.positions.dtype
+
+
+def make_state(
+    masses,
+    positions,
+    velocities,
+    time: float = 0.0,
+    step: int = 0,
+    dtype=jnp.float32,
+) -> SimState:
+    masses = jnp.asarray(masses, dtype=dtype)
+    positions = jnp.asarray(positions, dtype=dtype)
+    velocities = jnp.asarray(velocities, dtype=dtype)
+    if masses.ndim != 1 or positions.shape != (masses.shape[0], 2):
+        raise ValueError(
+            f"bad shapes: masses {masses.shape}, positions {positions.shape}"
+        )
+    if velocities.shape != positions.shape:
+        raise ValueError(
+            f"velocities shape {velocities.shape} != positions {positions.shape}"
+        )
+    return SimState(
+        masses=masses,
+        positions=positions,
+        velocities=velocities,
+        time=jnp.asarray(time, dtype=dtype),
+        step=jnp.asarray(step, dtype=jnp.int32),
+    )
+
+
+def to_numpy(state: SimState):
+    """Host copies (used by the text-I/O layer and checkpointing)."""
+    return (
+        np.asarray(state.masses),
+        np.asarray(state.positions),
+        np.asarray(state.velocities),
+        float(state.time),
+        int(state.step),
+    )

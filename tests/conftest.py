@@ -1,0 +1,36 @@
+"""Test harness: CPU backend with 8 fake devices.
+
+Multi-chip paths (DP all-gather, ring all-pairs, psum sharding) run in CI
+without a TPU by faking an 8-device mesh on the host platform — the
+strategy SURVEY.md section 4 prescribes.  Must run before jax is imported.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture
+def small_cloud(rng):
+    """A reference-like random body cloud (ranges from project.cu:30-35)."""
+    n = 64
+    masses = 10 ** rng.uniform(np.log10(1e-1), np.log10(5e-1), size=n)
+    positions = rng.uniform(-1e-1, 1e-1, size=(n, 2))
+    velocities = rng.uniform(-1e-4, 1e-4, size=(n, 2))
+    return masses, positions, velocities
