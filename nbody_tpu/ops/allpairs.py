@@ -119,9 +119,10 @@ def _allpairs_kernel(
         "interpret",
     ),
 )
-def allpairs_accelerations(
-    positions: jax.Array,  # (N, 2)
-    masses: jax.Array,  # (N,)
+def allpairs_accelerations_vs(
+    target_positions: jax.Array,  # (Nt, 2)
+    source_positions: jax.Array,  # (Ns, 2)
+    source_masses: jax.Array,  # (Ns,)
     *,
     g: float,
     softening: float = 0.0,
@@ -129,29 +130,39 @@ def allpairs_accelerations(
     source_block: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
-    """O(N^2) accelerations via the tiled Pallas kernel.  Returns (N, 2)."""
-    n = positions.shape[0]
-    positions = positions.astype(jnp.float32)
-    masses = masses.astype(jnp.float32)
+    """Accelerations of targets due to sources via the tiled kernel.
 
-    np_ = _round_up(max(n, max(target_block, source_block)),
-                    max(target_block, source_block))
+    Targets and sources may be different clouds — the multi-chip DP / ring
+    modes pass the local body block as targets and (a rotating slice of)
+    the gathered global cloud as sources.  A target that also appears among
+    the sources at bit-identical coordinates is self-excluded by the
+    ``d2 > 0`` guard, so no index bookkeeping crosses device boundaries.
+    Returns (Nt, 2).
+    """
+    nt = target_positions.shape[0]
+    ns = source_positions.shape[0]
+    target_positions = target_positions.astype(jnp.float32)
+    source_positions = source_positions.astype(jnp.float32)
+    source_masses = source_masses.astype(jnp.float32)
 
-    # Packed target matrix (Np, 8): [x, y, 0, ...].
-    tgt = jnp.zeros((np_, 8), dtype=jnp.float32)
-    tgt = tgt.at[:n, 0:2].set(positions)
-    tgt = tgt.at[n:, 0:2].set(_PAD_SENTINEL)
+    nt_pad = _round_up(max(nt, target_block), target_block)
+    ns_pad = _round_up(max(ns, source_block), source_block)
 
-    # Packed source matrix (8, Np): [x, y, g*m, 1, 0...]; padded bodies get
-    # the far sentinel position and zero mass so they contribute nothing.
-    src = jnp.zeros((8, np_), dtype=jnp.float32)
-    src = src.at[0:2, :n].set(positions.T)
-    src = src.at[0:2, n:].set(_PAD_SENTINEL)
-    src = src.at[2, :n].set(jnp.asarray(g, jnp.float32) * masses)
-    src = src.at[3, :n].set(1.0)
+    # Packed target matrix (Nt_pad, 8): [x, y, 0, ...].
+    tgt = jnp.zeros((nt_pad, 8), dtype=jnp.float32)
+    tgt = tgt.at[:nt, 0:2].set(target_positions)
+    tgt = tgt.at[nt:, 0:2].set(_PAD_SENTINEL)
 
-    n_tgt_tiles = np_ // target_block
-    n_src_tiles = np_ // source_block
+    # Packed source matrix (8, Ns_pad): [x, y, g*m, 1, 0...]; padded bodies
+    # get the far sentinel position and zero mass: they contribute nothing.
+    src = jnp.zeros((8, ns_pad), dtype=jnp.float32)
+    src = src.at[0:2, :ns].set(source_positions.T)
+    src = src.at[0:2, ns:].set(_PAD_SENTINEL)
+    src = src.at[2, :ns].set(jnp.asarray(g, jnp.float32) * source_masses)
+    src = src.at[3, :ns].set(1.0)
+
+    n_tgt_tiles = nt_pad // target_block
+    n_src_tiles = ns_pad // source_block
 
     kernel = functools.partial(
         _allpairs_kernel,
@@ -159,7 +170,7 @@ def allpairs_accelerations(
         n_src_tiles=n_src_tiles,
     )
 
-    pairs = np_ * np_
+    pairs = nt_pad * ns_pad
     out = pl.pallas_call(
         kernel,
         grid=(n_tgt_tiles, n_src_tiles),
@@ -178,20 +189,43 @@ def allpairs_accelerations(
         out_specs=pl.BlockSpec(
             (target_block, 8), lambda t, s: (t, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((np_, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt_pad, 8), jnp.float32),
         scratch_shapes=[pltpu.VMEM((target_block, 8), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=12 * pairs + 2 * pairs * 8,
-            bytes_accessed=(np_ * 8 * 4) * 2 + (8 * np_ * 4),
+            flops=12 * pairs,
+            bytes_accessed=(nt_pad * 8 * 4) * 2 + (8 * ns_pad * 4),
             transcendentals=pairs,
         ),
         interpret=interpret,
     )(tgt, src)
 
-    return out[:n, 0:2]
+    return out[:nt, 0:2]
+
+
+def allpairs_accelerations(
+    positions: jax.Array,  # (N, 2)
+    masses: jax.Array,  # (N,)
+    *,
+    g: float,
+    softening: float = 0.0,
+    target_block: int = 256,
+    source_block: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-cloud O(N^2) accelerations (targets == sources)."""
+    return allpairs_accelerations_vs(
+        positions,
+        positions,
+        masses,
+        g=g,
+        softening=softening,
+        target_block=target_block,
+        source_block=source_block,
+        interpret=interpret,
+    )
 
 
 def allpairs_accelerations_reference(

@@ -141,6 +141,60 @@ def _traverse_chunk(
     return acc_x, acc_y, overflow
 
 
+def traverse_accelerations(
+    positions: jax.Array,
+    own_codes: jax.Array,
+    tree: Quadtree,
+    *,
+    g: float,
+    theta: float = THETA_DEFAULT,
+    softening: float = BH_SOFTENING,
+    frontier_cap: int = 256,
+    body_chunk: int = 8192,
+):
+    """Traverse a prebuilt tree for the given bodies.
+
+    Memory is bounded by processing bodies in chunks of ``body_chunk``
+    (each chunk holds [chunk, frontier_cap] working arrays); the tree is
+    shared by all chunks.  Used directly by the multi-chip step, where
+    each device traverses its own body shard against the psum-replicated
+    tree.  Returns (acc [N, 2], overflowed [N] bool).
+    """
+    n = positions.shape[0]
+    f32 = positions.dtype
+    chunk = min(body_chunk, max(n, 1))
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    px = jnp.zeros((n_pad,), f32).at[:n].set(positions[:, 0])
+    py = jnp.zeros((n_pad,), f32).at[:n].set(positions[:, 1])
+    # padded bodies get own_code -1: never matches a cell -> no self skip;
+    # their (garbage) accelerations are sliced off below.
+    own = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(own_codes)
+
+    def one_chunk(args):
+        cpx, cpy, cown = args
+        return _traverse_chunk(
+            cpx,
+            cpy,
+            cown,
+            tree,
+            theta=theta,
+            softening=softening,
+            g=g,
+            frontier_cap=frontier_cap,
+        )
+
+    ax, ay, ovf = jax.lax.map(
+        one_chunk,
+        (
+            px.reshape(-1, chunk),
+            py.reshape(-1, chunk),
+            own.reshape(-1, chunk),
+        ),
+    )
+    acc = jnp.stack([ax.reshape(-1)[:n], ay.reshape(-1)[:n]], axis=-1)
+    return acc, ovf.reshape(-1)[:n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -165,46 +219,19 @@ def bh_accelerations(
     body_chunk: int = 8192,
     return_diagnostics: bool = False,
 ):
-    """Barnes-Hut accelerations [N, 2] (optionally + overflow flags [N]).
-
-    Memory is bounded by processing bodies in chunks of ``body_chunk``
-    (each chunk holds [chunk, frontier_cap] working arrays); the tree is
-    built once and shared by all chunks.
-    """
-    n = positions.shape[0]
-    f32 = positions.dtype
+    """Build + traverse: Barnes-Hut accelerations [N, 2] (optionally +
+    overflow flags [N])."""
     tree = build_quadtree(positions, masses, max_depth=max_depth)
-
-    chunk = min(body_chunk, max(n, 1))
-    n_pad = ((n + chunk - 1) // chunk) * chunk
-    px = jnp.zeros((n_pad,), f32).at[:n].set(positions[:, 0])
-    py = jnp.zeros((n_pad,), f32).at[:n].set(positions[:, 1])
-    # padded bodies get own_code -1: never matches a cell -> no self skip;
-    # their (garbage) accelerations are sliced off below.
-    own = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(tree.codes)
-
-    def one_chunk(args):
-        cpx, cpy, cown = args
-        return _traverse_chunk(
-            cpx,
-            cpy,
-            cown,
-            tree,
-            theta=theta,
-            softening=softening,
-            g=g,
-            frontier_cap=frontier_cap,
-        )
-
-    ax, ay, ovf = jax.lax.map(
-        one_chunk,
-        (
-            px.reshape(-1, chunk),
-            py.reshape(-1, chunk),
-            own.reshape(-1, chunk),
-        ),
+    acc, ovf = traverse_accelerations(
+        positions,
+        tree.codes,
+        tree,
+        g=g,
+        theta=theta,
+        softening=softening,
+        frontier_cap=frontier_cap,
+        body_chunk=body_chunk,
     )
-    acc = jnp.stack([ax.reshape(-1)[:n], ay.reshape(-1)[:n]], axis=-1)
     if return_diagnostics:
-        return acc, ovf.reshape(-1)[:n]
+        return acc, ovf
     return acc

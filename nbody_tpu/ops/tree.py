@@ -101,33 +101,48 @@ def morton_codes(
     return code
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth",))
-def build_quadtree(
+def leaf_aggregates(
     positions: jax.Array,
     masses: jax.Array,
-    max_depth: int = MAX_DEPTH_DEFAULT,
-    bounds: jax.Array | None = None,
-) -> Quadtree:
-    """Whole-tree build as segment-sums + 4->1 reductions (no recursion)."""
-    if bounds is None:
-        bounds = root_bounds(positions)
-    codes = morton_codes(positions, bounds, max_depth)
+    codes: jax.Array,
+    max_depth: int,
+):
+    """Per-leaf-cell (mass, mass*x, mass*y, count) via one segment-sum each
+    — the parallel-insert replacement for QuadInsert.  Each device computes
+    this over its *local* bodies; a psum over the mesh yields the global
+    tree (see nbody_tpu.parallel)."""
     n_leaf = 4**max_depth
-    f32 = positions.dtype
-
     m = jax.ops.segment_sum(masses, codes, num_segments=n_leaf)
-    mx = jax.ops.segment_sum(masses * positions[:, 0], codes, num_segments=n_leaf)
-    my = jax.ops.segment_sum(masses * positions[:, 1], codes, num_segments=n_leaf)
+    mx = jax.ops.segment_sum(
+        masses * positions[:, 0], codes, num_segments=n_leaf
+    )
+    my = jax.ops.segment_sum(
+        masses * positions[:, 1], codes, num_segments=n_leaf
+    )
     cnt = jax.ops.segment_sum(
         jnp.ones(codes.shape, jnp.int32), codes, num_segments=n_leaf
     )
+    return m, mx, my, cnt
+
+
+def pyramid_from_leaves(
+    m: jax.Array,
+    mx: jax.Array,
+    my: jax.Array,
+    cnt: jax.Array,
+    bounds: jax.Array,
+    codes: jax.Array,
+    max_depth: int,
+    dtype=jnp.float32,
+) -> Quadtree:
+    """4->1 reductions up the pyramid (replaces recursive ComputeMass)."""
 
     def finish(m, mx, my, cnt) -> TreeLevel:
-        safe = jnp.where(m > 0, m, 1.0).astype(f32)
+        safe = jnp.where(m > 0, m, 1.0).astype(dtype)
         return TreeLevel(
-            mass=m.astype(f32),
-            comx=(mx / safe).astype(f32),
-            comy=(my / safe).astype(f32),
+            mass=m.astype(dtype),
+            comx=(mx / safe).astype(dtype),
+            comy=(my / safe).astype(dtype),
             count=cnt,
         )
 
@@ -140,6 +155,23 @@ def build_quadtree(
         levels.append(finish(m, mx, my, cnt))
     levels.reverse()  # root first
     return Quadtree(levels=tuple(levels), bounds=bounds, codes=codes)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def build_quadtree(
+    positions: jax.Array,
+    masses: jax.Array,
+    max_depth: int = MAX_DEPTH_DEFAULT,
+    bounds: jax.Array | None = None,
+) -> Quadtree:
+    """Whole-tree build as segment-sums + 4->1 reductions (no recursion)."""
+    if bounds is None:
+        bounds = root_bounds(positions)
+    codes = morton_codes(positions, bounds, max_depth)
+    m, mx, my, cnt = leaf_aggregates(positions, masses, codes, max_depth)
+    return pyramid_from_leaves(
+        m, mx, my, cnt, bounds, codes, max_depth, dtype=positions.dtype
+    )
 
 
 def level_cell_size(bounds: jax.Array, level: int) -> jax.Array:

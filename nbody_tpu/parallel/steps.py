@@ -1,0 +1,268 @@
+"""Sharded simulation steps (shard_map over a device mesh).
+
+The reference has no distributed backend at all — its only inter-processor
+"communication" is PCIe memcpys of the tree and positions every step
+(project.cu:968, 1010; SURVEY.md section 2.7).  Here the per-step
+communication is XLA collectives over ICI:
+
+* ``dp_allpairs``   — bodies sharded; per-step all_gather of (positions,
+  masses); each chip computes its target shard vs the full cloud.
+  Comm: O(N) per step.  The direct analogue of the reference's
+  strong-scaling experiment (threads -> chips).
+* ``ring_allpairs`` — bodies sharded on both sides; source blocks rotate
+  via ppermute so each chip sees the whole cloud in n_dev hops while only
+  ever holding 2/n_dev of it — the ring-attention moral equivalent for
+  the O(N^2) interaction matrix (SURVEY.md section 2.5/5.7), for N too
+  large to replicate.
+* ``dp2d_allpairs`` — 2-D (dp x sp) interaction sharding: targets over dp,
+  sources over sp, partial accelerations psum'ed over sp (the
+  tensor-parallel analogue).
+* ``dp_barnes_hut`` — the distributed tree build the reference's report
+  wishes for (project_report.pdf p.7): each chip scatters its local bodies
+  into leaf aggregates (segment_sum), one psum replicates the global
+  pyramid, then each chip traverses only its own body shard.
+  Comm: O(tree) per step, independent of N.
+
+All steps fuse the semi-implicit Euler update (a -> v -> p,
+project.cu:819-836) into the same jitted program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import SimConfig
+from ..ops.barnes_hut import traverse_accelerations
+from ..ops.tree import (
+    leaf_aggregates,
+    morton_codes,
+    pyramid_from_leaves,
+)
+from ..state import SimState
+
+
+def _make_accel_vs(config: SimConfig) -> Callable:
+    """(tgt_pos, src_pos, src_masses) -> acc of targets due to sources."""
+    g = config.g
+    if jax.default_backend() == "tpu":
+        from ..ops.allpairs import allpairs_accelerations_vs
+
+        def accel_vs(tgt, src, src_m):
+            return allpairs_accelerations_vs(
+                tgt,
+                src,
+                src_m,
+                g=g,
+                softening=0.0,
+                target_block=config.target_block,
+                source_block=config.source_block,
+            )
+
+        return accel_vs
+
+    # Dense XLA fallback for CPU-mesh tests: same semantics, self-pairs
+    # excluded by the d2 > 0 guard.
+    def accel_vs(tgt, src, src_m):
+        disp = src[None, :, :] - tgt[:, None, :]  # [Nt, Ns, 2]
+        d2 = jnp.sum(disp * disp, axis=-1)
+        valid = d2 > 0.0
+        inv_d = jax.lax.rsqrt(jnp.where(valid, d2, 1.0))
+        w = jnp.where(valid, src_m[None, :] * inv_d * inv_d * inv_d, 0.0)
+        return g * jnp.einsum("ij,ijk->ik", w, disp)
+
+    return accel_vs
+
+
+def _integrate_arrays(p, v, acc, dt, time, step):
+    new_v = v + acc * dt
+    new_p = p + new_v * dt
+    return new_p, new_v, time + jnp.asarray(dt, time.dtype), step + 1
+
+
+def make_dp_allpairs_step(config: SimConfig, mesh: Mesh) -> Callable:
+    """Bodies sharded over dp; per-step all_gather of the source cloud."""
+    axis = config.mesh.axis_name
+    accel_vs = _make_accel_vs(config)
+    dt = config.dt
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        check_vma=False,
+    )
+    def step(masses, positions, velocities, time, stepc):
+        all_pos = jax.lax.all_gather(positions, axis, axis=0, tiled=True)
+        all_m = jax.lax.all_gather(masses, axis, axis=0, tiled=True)
+        acc = accel_vs(positions, all_pos, all_m)
+        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+
+    return _wrap_state_step(step)
+
+
+def make_ring_allpairs_step(config: SimConfig, mesh: Mesh) -> Callable:
+    """Bodies sharded on both sides; source blocks rotate around the ring
+    (ppermute), accumulating partial accelerations — each hop overlaps the
+    next block's transfer with the current block's compute under XLA's
+    async collectives."""
+    axis = config.mesh.axis_name
+    n_dev = mesh.shape[axis]
+    accel_vs = _make_accel_vs(config)
+    dt = config.dt
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        check_vma=False,
+    )
+    def step(masses, positions, velocities, time, stepc):
+        src_p = positions
+        src_m = masses
+        acc = jnp.zeros_like(positions)
+        for hop in range(n_dev):
+            acc = acc + accel_vs(positions, src_p, src_m)
+            if hop != n_dev - 1:
+                src_p = jax.lax.ppermute(src_p, axis, perm)
+                src_m = jax.lax.ppermute(src_m, axis, perm)
+        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+
+    return _wrap_state_step(step)
+
+
+def make_dp2d_allpairs_step(config: SimConfig, mesh: Mesh) -> Callable:
+    """2-D interaction sharding: targets over 'dp', sources over 'sp';
+    partial accelerations psum over 'sp'.  Body arrays are sharded over dp
+    and replicated over sp."""
+    dp_axis, sp_axis = mesh.axis_names
+    sp = mesh.shape[sp_axis]
+    accel_vs = _make_accel_vs(config)
+    dt = config.dt
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(dp_axis), P(dp_axis, None), P(dp_axis, None), P(), P()),
+        out_specs=(P(dp_axis, None), P(dp_axis, None), P(), P()),
+        check_vma=False,
+    )
+    def step(masses, positions, velocities, time, stepc):
+        # full cloud on every chip of my sp row
+        all_pos = jax.lax.all_gather(positions, dp_axis, axis=0, tiled=True)
+        all_m = jax.lax.all_gather(masses, dp_axis, axis=0, tiled=True)
+        # my source stripe
+        n = all_pos.shape[0]
+        block = n // sp
+        k = jax.lax.axis_index(sp_axis)
+        src_p = jax.lax.dynamic_slice_in_dim(all_pos, k * block, block, 0)
+        src_m = jax.lax.dynamic_slice_in_dim(all_m, k * block, block, 0)
+        partial = accel_vs(positions, src_p, src_m)
+        acc = jax.lax.psum(partial, sp_axis)
+        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+
+    return _wrap_state_step(step)
+
+
+def make_dp_barnes_hut_step(config: SimConfig, mesh: Mesh) -> Callable:
+    """Distributed Barnes-Hut: local leaf scatter + one psum -> replicated
+    pyramid -> local traversal of the chip's own body shard."""
+    axis = config.mesh.axis_name
+    dt = config.dt
+    g = config.g
+    theta = config.theta
+    max_depth = config.max_depth
+    softening = config.softening
+    frontier_cap = config.frontier_cap
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        check_vma=False,
+    )
+    def step(masses, positions, velocities, time, stepc):
+        # global root bounds (ComputeRootBounds semantics over all shards)
+        x = positions[:, 0]
+        y = positions[:, 1]
+        x_min = jax.lax.pmin(jnp.min(x), axis)
+        x_max = jax.lax.pmax(jnp.max(x), axis)
+        y_min = jax.lax.pmin(jnp.min(y), axis)
+        y_max = jax.lax.pmax(jnp.max(y), axis)
+        max_dim = jnp.maximum(x_max - x_min, y_max - y_min)
+        pad = jnp.where(max_dim == 0.0, 1e-6, 0.1 * max_dim)
+        bounds = jnp.stack(
+            [x_min - pad, x_max + pad, y_min - pad, y_max + pad]
+        )
+
+        codes = morton_codes(positions, bounds, max_depth)
+        m, mx, my, cnt = leaf_aggregates(positions, masses, codes, max_depth)
+        # one fused psum replicates the global leaf aggregates
+        m, mx, my, cnt = jax.lax.psum((m, mx, my, cnt), axis)
+        tree = pyramid_from_leaves(
+            m, mx, my, cnt, bounds, codes, max_depth, dtype=positions.dtype
+        )
+        acc, _ = traverse_accelerations(
+            positions,
+            codes,
+            tree,
+            g=g,
+            theta=theta,
+            softening=softening,
+            frontier_cap=frontier_cap,
+            body_chunk=min(8192, positions.shape[0]),
+        )
+        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+
+    return _wrap_state_step(step)
+
+
+def _wrap_state_step(array_step: Callable) -> Callable:
+    """Lift an array-level step to SimState -> SimState under jit."""
+
+    @jax.jit
+    def step(state: SimState) -> SimState:
+        p, v, t, s = array_step(
+            state.masses,
+            state.positions,
+            state.velocities,
+            state.time,
+            state.step,
+        )
+        return SimState(
+            masses=state.masses,
+            positions=p,
+            velocities=v,
+            time=t,
+            step=s,
+        )
+
+    return step
+
+
+STEP_BUILDERS = {
+    "dp_allpairs": make_dp_allpairs_step,
+    "ring_allpairs": make_ring_allpairs_step,
+    "dp_barnes_hut": make_dp_barnes_hut_step,
+    "dp2d_allpairs": make_dp2d_allpairs_step,
+}
+
+
+def make_sharded_step(
+    config: SimConfig, mesh: Mesh, mode: str = "dp_allpairs"
+) -> Callable:
+    try:
+        return STEP_BUILDERS[mode](config, mesh)
+    except KeyError:
+        raise ValueError(
+            f"unknown mode {mode!r}; options: {sorted(STEP_BUILDERS)}"
+        ) from None

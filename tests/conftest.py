@@ -8,7 +8,6 @@ strategy SURVEY.md section 4 prescribes.  Must run before jax is imported.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the remote-TPU
+# tunnel ("axon") and ignores env overrides; jax.config wins.  Override
+# with NBODY_TEST_PLATFORM=tpu to run the suite against real hardware.
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_platforms", os.environ.get("NBODY_TEST_PLATFORM", "cpu")
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

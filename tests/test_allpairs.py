@@ -43,7 +43,7 @@ def test_kernel_matches_dense(n):
             jnp.asarray(positions), jnp.asarray(masses), g=G
         )
     )
-    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-15)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-11)
 
 
 def test_kernel_matches_oracle_f64():
@@ -80,7 +80,7 @@ def test_softened_variant():
             jnp.asarray(positions), jnp.asarray(masses), g=G, softening=eps
         )
     )
-    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-15)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-11)
     # and it must differ from the unsoftened result
     unsoft = np.asarray(
         allpairs_accelerations(
