@@ -115,7 +115,7 @@ def test_trajectory_parity_with_oracle():
     velocities = (
         np.random.default_rng(10).uniform(-1e-4, 1e-4, (400, 2))
     ).astype(np.float32)
-    n_steps = 10
+    n_steps = 6
     want = oracle.simulate(
         positions, velocities, masses, n_steps, dt=1.0, g=G,
         engine="barnes_hut", theta=0.5,
