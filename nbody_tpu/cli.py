@@ -1,0 +1,218 @@
+"""Command-line interface.
+
+Replaces the reference's configuration workflow — compile-time ``#define``s
+(project.cu:1-11), ``-D`` recompiles per sweep point
+(first_scaling_script.sh:30), and mode selection by (un)commenting lines in
+``main`` (project.cu:1061-1066, README.md:14-18) — with runtime flags.
+
+Subcommands:
+
+* ``run``   — one simulation; prints the reference's stdout timing contract
+  (the exact lines parsed by plot_first_scale.py:58-59).
+* ``sweep`` — strong/weak scaling protocols; appends results in the
+  scaling-scripts' file format so the reference's plot_first_scale.py /
+  plot_second_scale.py run unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--n-bodies", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=10,
+                   help="N_SIMULATIONS analogue (project.cu:9-11)")
+    p.add_argument("--dt", type=float, default=1.0)
+    p.add_argument("--g", type=float, default=6.67e-11)
+    p.add_argument(
+        "--engine",
+        choices=["naive", "allpairs", "barnes_hut"],
+        default="barnes_hut",
+    )
+    p.add_argument("--theta", type=float, default=0.5)
+    p.add_argument("--max-depth", type=int, default=9)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--precision", choices=["float32", "float64", "bfloat16"],
+                   default="float32")
+    p.add_argument("--target-block", type=int, default=256)
+    p.add_argument("--source-block", type=int, default=1024)
+    p.add_argument("--frontier-cap", type=int, default=256)
+    # init modes (README.md:14-18: CPU init / GPU init / load from files)
+    p.add_argument("--load-init", metavar="DIR", default=None,
+                   help="load masses/positions/velocities_init.txt from DIR")
+    p.add_argument("--save-init", action="store_true",
+                   help="save the init triplet to the output dir")
+    p.add_argument("--save-positions", action="store_true",
+                   help="write per-step positions.txt (plot_2d.py input)")
+    p.add_argument("--save-tree-dumps", action="store_true",
+                   help="write quadtree_{init,final}.txt (plot_quadtree.py)")
+    p.add_argument("--output-dir", default=".")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", metavar="NPZ", default=None,
+                   help="resume from a checkpoint file")
+    # parallelism
+    p.add_argument("--devices", type=int, default=1,
+                   help="number of chips (bodies sharded over a dp mesh)")
+    p.add_argument(
+        "--mode",
+        choices=["auto", "dp_allpairs", "ring_allpairs", "dp_barnes_hut",
+                 "dp2d_allpairs"],
+        default="auto",
+        help="sharded step selection when --devices > 1",
+    )
+
+
+def _build_config(args):
+    from .config import SimConfig, MeshConfig
+
+    return SimConfig(
+        n_bodies=args.n_bodies,
+        n_steps=args.steps,
+        dt=args.dt,
+        g=args.g,
+        engine=args.engine,
+        theta=args.theta,
+        max_depth=args.max_depth,
+        seed=args.seed,
+        dtype=args.precision,
+        target_block=args.target_block,
+        source_block=args.source_block,
+        frontier_cap=args.frontier_cap,
+        save_positions=args.save_positions,
+        save_tree_dumps=args.save_tree_dumps,
+        output_dir=args.output_dir,
+        checkpoint_every=args.checkpoint_every,
+        mesh=MeshConfig(dp=args.devices),
+    )
+
+
+def _make_state(args, config):
+    from .rng import random_state
+    from .state import make_state
+
+    if args.resume:
+        from .utils.checkpoint import load_checkpoint
+
+        return load_checkpoint(args.resume, dtype=config.jnp_dtype())
+    if args.load_init:
+        from .utils.textio import load_init_triplet
+
+        m, p, v = load_init_triplet(
+            os.path.join(args.load_init, "masses_init.txt"),
+            os.path.join(args.load_init, "positions_init.txt"),
+            os.path.join(args.load_init, "velocities_init.txt"),
+            args.n_bodies,
+        )
+        return make_state(m, p, v, dtype=config.jnp_dtype())
+    return random_state(config)
+
+
+def cmd_run(args) -> int:
+    config = _build_config(args)
+    state = _make_state(args, config)
+
+    if args.save_init:
+        from .utils.textio import save_init_triplet
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        save_init_triplet(
+            args.output_dir,
+            np.asarray(state.masses),
+            np.asarray(state.positions),
+            np.asarray(state.velocities),
+        )
+
+    step_fn = None
+    if args.devices > 1:
+        from .parallel import make_mesh, make_mesh_2d, make_sharded_step, shard_state
+
+        mode = args.mode
+        if mode == "auto":
+            mode = (
+                "dp_barnes_hut" if args.engine == "barnes_hut"
+                else "dp_allpairs"
+            )
+        if mode == "dp2d_allpairs":
+            mesh = make_mesh_2d(max(args.devices // 2, 1), 2)
+        else:
+            mesh = make_mesh(args.devices)
+            state = shard_state(state, mesh)
+        step_fn = make_sharded_step(config, mesh, mode)
+
+    from .models.simulation import Simulation
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    sim = Simulation(config, state=state, step_fn=step_fn)
+    _, timing = sim.run_contract()
+    print()
+    # the machine-readable contract lines (project.cu:1097/1102)
+    print(timing.total_line())
+    print()
+    print(timing.parallel_line())
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from .bench.sweeps import run_sweep
+
+    return run_sweep(args)
+
+
+def cmd_bench(args) -> int:
+    """Convenience alias: the repo-root bench.py headline metric."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="nbody_tpu",
+        description="TPU-native gravitational N-body framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="run one simulation")
+    _add_common(p_run)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_sweep = sub.add_parser(
+        "sweep", help="strong/weak scaling experiment sweeps"
+    )
+    _add_common(p_sweep)
+    p_sweep.add_argument(
+        "--experiment",
+        choices=["strong", "weak", "bodies"],
+        default="strong",
+        help="strong: fixed N, vary devices (first_scaling_script.sh "
+        "analogue); weak: N per device fixed, vary devices; bodies: vary N "
+        "on fixed devices (second_scaling_script.sh analogue)",
+    )
+    p_sweep.add_argument("--repeats", type=int, default=5,
+                         help="repetitions per config (scripts use 5)")
+    p_sweep.add_argument("--device-counts", type=str, default="",
+                         help="comma list, e.g. 1,2,4,8")
+    p_sweep.add_argument("--body-counts", type=str, default="",
+                         help="comma list for --experiment bodies")
+    p_sweep.add_argument("--results-file", default="scaling_results.txt")
+    p_sweep.set_defaults(fn=cmd_sweep)
+
+    p_bench = sub.add_parser("bench", help="headline benchmark JSON line")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -31,17 +31,32 @@ from .engines import make_accel_fn
 
 
 class Simulation:
-    def __init__(self, config: SimConfig, state: Optional[SimState] = None):
+    def __init__(
+        self,
+        config: SimConfig,
+        state: Optional[SimState] = None,
+        step_fn=None,
+    ):
+        """``step_fn`` overrides the single-device engine step — the
+        multi-chip CLI path passes a sharded step from
+        :mod:`nbody_tpu.parallel` here and reuses the same contract loop."""
         self.config = config
         self.state = state if state is not None else random_state(config)
-        self._accel_fn = make_accel_fn(config)
-        dt = config.dt
+        if step_fn is None:
+            self._accel_fn = make_accel_fn(config)
+            dt = config.dt
 
-        def step(state: SimState) -> SimState:
-            acc = self._accel_fn(state.positions, state.masses)
-            return integrate(state, acc, dt)
+            def step(state: SimState) -> SimState:
+                acc = self._accel_fn(state.positions, state.masses)
+                return integrate(state, acc, dt)
 
-        self.step_fn = jax.jit(step)
+            step_fn = jax.jit(step)
+        else:
+
+            def step(state: SimState) -> SimState:
+                return step_fn(state)
+
+        self.step_fn = step_fn
 
         def scan_steps(state: SimState, n_steps: int) -> SimState:
             def body(s, _):

@@ -1,0 +1,152 @@
+"""CLI + sweep harness: stdout timing contract and results-file format.
+
+The format checks reimplement the regexes of the reference's analysis
+layer (plot_first_scale.py:55-59, plot_second_scale.py:19-20) so a drift
+in our emitters fails here before it breaks those plotters.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from nbody_tpu.cli import main
+
+TOTAL_RE = re.compile(r"GPU total computation took\s+(\d+)\s+milliseconds\.")
+PARALLEL_RE = re.compile(
+    r"GPU parallel computation took\s+(\d+)\s+microseconds"
+)
+CONFIG_RE = re.compile(r"^\s*(\d+)\s*,\s*([^,]+)\s*,\s*(\d+)\s*,")
+CONFIG5_RE = re.compile(r"^\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*,")
+
+
+def test_run_prints_timing_contract(tmp_path, capsys):
+    rc = main(
+        [
+            "run",
+            "--engine",
+            "naive",
+            "--n-bodies",
+            "64",
+            "--steps",
+            "2",
+            "--output-dir",
+            str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert TOTAL_RE.search(out), out
+    assert PARALLEL_RE.search(out), out
+
+
+def test_run_with_files_and_init_roundtrip(tmp_path, capsys):
+    rc = main(
+        [
+            "run",
+            "--engine",
+            "naive",
+            "--n-bodies",
+            "64",
+            "--steps",
+            "2",
+            "--save-init",
+            "--save-positions",
+            "--output-dir",
+            str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    assert (tmp_path / "masses_init.txt").exists()
+    assert (tmp_path / "positions.txt").exists()
+    # reload the saved init (README.md:14-18 mode 3) and check determinism
+    rc = main(
+        [
+            "run",
+            "--engine",
+            "naive",
+            "--n-bodies",
+            "64",
+            "--steps",
+            "2",
+            "--load-init",
+            str(tmp_path),
+            "--output-dir",
+            str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    assert "Loaded 64 bodies from text files." in capsys.readouterr().out
+
+
+def test_sweep_strong_format(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        [
+            "sweep",
+            "--experiment",
+            "strong",
+            "--engine",
+            "naive",
+            "--n-bodies",
+            "64",
+            "--steps",
+            "2",
+            "--repeats",
+            "2",
+            "--device-counts",
+            "1,2",
+            "--results-file",
+            "res.txt",
+        ]
+    )
+    assert rc == 0
+    text = open("res.txt").read()
+    lines = text.splitlines()
+    assert lines[0].startswith("n_bodies, n_threads, n_simulations")
+    # parse exactly like plot_first_scale.py: config lines set the thread
+    # context, timing lines attach to it
+    parallel_times = {}
+    last_thread = None
+    for line in lines:
+        if "n_bodies" in line.lower():
+            continue
+        m = CONFIG_RE.search(line)
+        if m:
+            last_thread = int(m.group(2))
+            continue
+        m = PARALLEL_RE.search(line)
+        if m and last_thread is not None:
+            parallel_times.setdefault(last_thread, []).append(
+                int(m.group(1))
+            )
+    assert set(parallel_times) == {1, 2}
+    assert all(len(v) == 2 for v in parallel_times.values())
+
+
+def test_sweep_bodies_format(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        [
+            "sweep",
+            "--experiment",
+            "bodies",
+            "--engine",
+            "naive",
+            "--steps",
+            "2",
+            "--repeats",
+            "1",
+            "--body-counts",
+            "32,64",
+            "--results-file",
+            "res2.txt",
+        ]
+    )
+    assert rc == 0
+    lines = open("res2.txt").read().splitlines()
+    # plot_second_scale.py:19 five-field config regex
+    configs = [m for l in lines if (m := CONFIG5_RE.search(l))]
+    assert {int(m.group(1)) for m in configs} == {32, 64}
