@@ -133,15 +133,25 @@ class Simulation:
         """Write the quadtree dump for this step (TraverseTreeToFile
         contract).  The adaptive structure is reconstructed on host — the
         reference also builds this tree on the host every step
-        (project.cu:959)."""
-        from .oracle import AdaptiveQuadtree
-
+        (project.cu:959).  Prefers the native C++ builder (byte-identical
+        to the Python oracle, see tests/test_native.py) for large N."""
         cfg = self.config
-        tree = AdaptiveQuadtree(max_depth=cfg.max_depth).build(
-            np.asarray(state.positions), np.asarray(state.masses)
-        )
+        positions = np.asarray(state.positions)
+        masses = np.asarray(state.masses)
+        try:
+            from ..utils import native
+
+            text = native.tree_dump(
+                positions, masses, max_depth=cfg.max_depth
+            )
+        except Exception:
+            from .oracle import AdaptiveQuadtree
+
+            tree = AdaptiveQuadtree(max_depth=cfg.max_depth).build(
+                positions, masses
+            )
+            text = "\n".join(tree.dump_lines(positions)) + "\n"
         name = "quadtree_init.txt" if first else "quadtree_final.txt"
         path = os.path.join(cfg.output_dir, name)
         with open(path, "w") as f:
-            f.write("\n".join(tree.dump_lines(np.asarray(state.positions))))
-            f.write("\n")
+            f.write(text)
