@@ -63,7 +63,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--mode",
         choices=["auto", "dp_allpairs", "ring_allpairs", "dp_barnes_hut",
-                 "dp2d_allpairs"],
+                 "dp_barnes_hut_grouped", "dp2d_allpairs"],
         default="auto",
         help="sharded step selection when --devices > 1",
     )
@@ -136,7 +136,7 @@ def cmd_run(args) -> int:
         mode = args.mode
         if mode == "auto":
             mode = (
-                "dp_barnes_hut" if args.engine == "barnes_hut"
+                "dp_barnes_hut_grouped" if args.engine == "barnes_hut"
                 else "dp_allpairs"
             )
         if mode == "dp2d_allpairs":

@@ -125,6 +125,17 @@ class SimConfig:
     # project.cu:708).
     frontier_cap: int = 256
 
+    # Barnes-Hut engine mode: "grouped" (Morton-sorted body groups share a
+    # conservative traversal + dense evaluation; the fast TPU path) or
+    # "exact" (per-body frontier traversal, bit-faithful to the reference's
+    # per-thread DFS; used for parity testing and small N).
+    bh_mode: str = "grouped"
+    group_size: int = 256
+    list_cap: int = 4096
+    direct_cap: int = 512
+    direct_cell_max: int = 32
+    group_chunk: int = 16
+
     # Parallelism.
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 

@@ -63,17 +63,38 @@ def make_accel_fn(config: SimConfig) -> Callable:
         return accel
 
     if engine == "barnes_hut":
-        from ..ops.barnes_hut import bh_accelerations
+        if config.bh_mode == "exact":
+            from ..ops.barnes_hut import bh_accelerations
+
+            def accel(positions, masses):
+                return bh_accelerations(
+                    positions,
+                    masses,
+                    g=g,
+                    theta=config.theta,
+                    max_depth=config.max_depth,
+                    softening=config.softening,
+                    frontier_cap=config.frontier_cap,
+                )
+
+            return accel
+
+        from ..ops.bh_grouped import bh_accelerations_grouped
 
         def accel(positions, masses):
-            return bh_accelerations(
+            return bh_accelerations_grouped(
                 positions,
                 masses,
                 g=g,
                 theta=config.theta,
                 max_depth=config.max_depth,
                 softening=config.softening,
-                frontier_cap=config.frontier_cap,
+                group_size=config.group_size,
+                frontier_cap=max(config.frontier_cap, 1024),
+                list_cap=config.list_cap,
+                direct_cap=config.direct_cap,
+                direct_cell_max=config.direct_cell_max,
+                group_chunk=config.group_chunk,
             )
 
         return accel

@@ -1,0 +1,463 @@
+"""Group-based Barnes-Hut: Morton-sorted body groups share one traversal.
+
+The per-body frontier traversal (barnes_hut.py) is semantically exact but
+gather-bound on TPU: [N, frontier] gathers per level dominate (measured
+~7 s/step at N=64K vs 0.5 ms for the tree build).  This module is the
+TPU-native answer, the standard vectorised tree-code design (cf. the
+SIMD/GPU tree-method literature in PAPERS.md — patterns only):
+
+1. sort bodies by Morton code (jax.lax.sort_key_val) so consecutive
+   bodies are spatially compact;
+2. cut the sorted order into fixed-size groups (static shapes); per group
+   compute the bounding box of its members;
+3. traverse the pyramid ONCE per group with a conservative acceptance
+   test: accept cell c iff  size_l / d_min < theta  where d_min is the
+   distance from the group's bbox to the cell COM.  Every member body has
+   d >= d_min, so each member's own theta test also passes — the group
+   decision only ever *opens more* than the reference's per-body DFS
+   (project.cu:641-643), i.e. it is at least as accurate;
+4. accepted cells and terminal cells (singletons, max-depth aggregates)
+   are compacted into a per-group interaction list of (x, y, mass);
+5. evaluation is dense and regular: group bodies x interaction list, the
+   same VPU pattern as the all-pairs kernel.  Gather volume drops by the
+   group size (256x) and all heavy compute is vectorised.
+
+Self-interaction: singleton cells carry bit-exact body positions (see
+tree.leaf_aggregates), so a body meeting its own singleton cell has
+d2 == 0 exactly and the d2 > 0 guard excludes it — no occupant-index
+bookkeeping.  Max-depth multi-body cells are included even for their own
+members, preserving the reference's aggregate-self-pull quirk
+(project.cu:378/760).
+
+group_size=1 makes the bbox a point, d_min the exact body-COM distance,
+and the acceptance identical to the reference traversal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    BH_SOFTENING,
+    MASS_SKIP_THRESHOLD,
+    MAX_DEPTH_DEFAULT,
+    THETA_DEFAULT,
+)
+from .tree import Quadtree, build_quadtree, level_cell_size, morton_codes
+
+
+def _scatter_append(buf, count, mask, values, cap, rows):
+    """Append masked row entries to per-row compacted buffers [G, cap].
+
+    Returns (new_buf, new_count, overflowed [G]).  Dropped entries land in
+    a sacrificial pad column."""
+    pos = count[:, None] + jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    overflow = jnp.max(jnp.where(mask, pos, -1), axis=1) >= cap
+    col = jnp.where(mask, jnp.minimum(pos, cap), cap)
+    out = (
+        jnp.pad(buf, ((0, 0), (0, 1)))
+        .at[rows, col]
+        .set(values, mode="drop")[:, :cap]
+    )
+    return out, count + jnp.sum(mask, axis=1).astype(jnp.int32), overflow
+
+
+def _collect_lists(
+    bbox: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],  # [G] each
+    tree: Quadtree,
+    *,
+    theta: float,
+    softening: float,
+    frontier_cap: int,
+    list_cap: int,
+    direct_cap: int,
+    direct_cell_max: int,
+):
+    """Per-group interaction lists via a dual (cell-vs-group-bbox) walk.
+
+    Classification per frontier cell (conservative d_min from the group
+    bbox to the cell COM; every member body's own theta test is implied):
+
+    * count==1                        -> approx list (exact point mass)
+    * theta-ok, count>=2              -> approx list (COM aggregate)
+    * level==max_depth, count>=2      -> approx list (the reference's
+      max-depth aggregated pseudo-body, project.cu:358-382 — own members
+      included, preserving the aggregate-self-pull quirk)
+    * not theta-ok, 2<=count<=direct_cell_max -> direct list as a body
+      *range*: Morton sorting makes every cell a contiguous slice of the
+      sorted body array, so close-range cells are resolved exactly by
+      pairwise interaction instead of opening them to singleton depth
+      (this is what bounds the frontier: without it, every cell inside
+      the group's own bbox would be opened all the way down)
+    * otherwise                       -> open (children to next frontier)
+
+    Returns (cells [G, L, 3] (x, y, mass) zero-mass padded,
+             ranges [G, D, 2] (start, count) zero-count padded,
+             overflow [G] bool).
+    """
+    x0, x1, y0, y1 = bbox
+    g = x0.shape[0]
+    f32 = x0.dtype
+    max_depth = tree.max_depth
+
+    out_x = jnp.zeros((g, list_cap), f32)
+    out_y = jnp.zeros((g, list_cap), f32)
+    out_m = jnp.zeros((g, list_cap), f32)
+    out_n = jnp.zeros((g,), jnp.int32)
+    dir_start = jnp.zeros((g, direct_cap), jnp.int32)
+    dir_count = jnp.zeros((g, direct_cap), jnp.int32)
+    dir_n = jnp.zeros((g,), jnp.int32)
+    overflow = jnp.zeros((g,), bool)
+
+    # per-cell body ranges in the Morton-sorted order: cumulative counts
+    # over the finest level give [start, end) for any cell at any level
+    leaf_cnt = tree.levels[max_depth].count
+    leaf_cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(leaf_cnt).astype(jnp.int32)]
+    )  # [4^max_depth + 1]
+
+    frontier = jnp.zeros((g, 1), jnp.int32)  # root
+    fcap = 1
+
+    rows_cache = {}
+
+    def rows(cols):
+        if cols not in rows_cache:
+            rows_cache[cols] = jax.lax.broadcasted_iota(
+                jnp.int32, (g, cols), 0
+            )
+        return rows_cache[cols]
+
+    for level in range(max_depth + 1):
+        lv = tree.levels[level]
+        f = frontier.shape[1]
+        valid = frontier >= 0
+        idx = jnp.where(valid, frontier, 0)
+        m = lv.mass[idx]  # [G, F]
+        cx = lv.comx[idx]
+        cy = lv.comy[idx]
+        cnt = lv.count[idx]
+
+        # distance from the group bbox to the cell COM (0 if inside)
+        dx = jnp.maximum(jnp.maximum(x0[:, None] - cx, cx - x1[:, None]), 0.0)
+        dy = jnp.maximum(jnp.maximum(y0[:, None] - cy, cy - y1[:, None]), 0.0)
+        d_min = jnp.sqrt(dx * dx + dy * dy) + jnp.asarray(softening, f32)
+        size = level_cell_size(tree.bounds, level).astype(f32)
+        theta_ok = size < theta * d_min
+
+        nonempty = valid & (cnt > 0) & (m > MASS_SKIP_THRESHOLD)
+        single = nonempty & (cnt == 1)
+        multi = nonempty & (cnt > 1)
+        approx = single | (multi & (theta_ok | (level == max_depth)))
+        direct = (
+            multi
+            & ~theta_ok
+            & (level != max_depth)
+            & (cnt <= direct_cell_max)
+        )
+
+        r = rows(f)
+        out_x, _, ov1 = _scatter_append(out_x, out_n, approx, cx, list_cap, r)
+        out_y, _, _ = _scatter_append(out_y, out_n, approx, cy, list_cap, r)
+        out_m, out_n, _ = _scatter_append(
+            out_m, out_n, approx, m, list_cap, r
+        )
+        overflow = overflow | ov1
+
+        # body range of each direct cell: the cell at `level` covers leaf
+        # cells [c << s, (c+1) << s) with s = 2*(max_depth-level)
+        shift = 2 * (max_depth - level)
+        starts = leaf_cum[idx << shift]
+        dir_start, _, ov2 = _scatter_append(
+            dir_start, dir_n, direct, starts, direct_cap, r
+        )
+        dir_count, dir_n, _ = _scatter_append(
+            dir_count, dir_n, direct, jnp.where(direct, cnt, 0), direct_cap, r
+        )
+        overflow = overflow | ov2
+
+        if level == max_depth:
+            break
+
+        open_ = multi & ~theta_ok & ~direct
+        children = (
+            idx[:, :, None] * 4 + jnp.arange(4, dtype=jnp.int32)
+        ).reshape(g, 4 * f)
+        child_cnt = tree.levels[level + 1].count[children]
+        cmask = jnp.repeat(open_, 4, axis=1) & (child_cnt > 0)
+
+        next_cap = min(4 * fcap, frontier_cap, 4 ** (level + 1))
+        cpos = jnp.cumsum(cmask.astype(jnp.int32), axis=1) - 1
+        overflow = overflow | (
+            jnp.max(jnp.where(cmask, cpos, -1), axis=1) >= next_cap
+        )
+        ccol = jnp.where(cmask, jnp.minimum(cpos, next_cap), next_cap)
+        nxt = jnp.full((g, next_cap + 1), -1, jnp.int32)
+        nxt = nxt.at[rows(4 * f), ccol].set(children, mode="drop")
+        frontier = nxt[:, :next_cap]
+        fcap = next_cap
+
+    cells = jnp.stack([out_x, out_y, out_m], axis=-1)  # [G, L, 3]
+    ranges = jnp.stack([dir_start, dir_count], axis=-1)  # [G, D, 2]
+    return cells, ranges, overflow
+
+
+def _expand_ranges(
+    ranges: jax.Array,  # [G, D, 2] (start, count)
+    direct_cell_max: int,
+    body_cap: int,
+):
+    """Expand direct cell ranges to a compact per-group body index list
+    [G, body_cap] (-1 padded) + overflow [G]."""
+    g, d, _ = ranges.shape
+    t = direct_cell_max
+    starts = ranges[:, :, 0]
+    counts = ranges[:, :, 1]
+    offs = jnp.arange(t, dtype=jnp.int32)
+    idx = (starts[:, :, None] + offs).reshape(g, d * t)
+    mask = (offs[None, None, :] < counts[:, :, None]).reshape(g, d * t)
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    overflow = jnp.max(jnp.where(mask, pos, -1), axis=1) >= body_cap
+    col = jnp.where(mask, jnp.minimum(pos, body_cap), body_cap)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, d * t), 0)
+    out = jnp.full((g, body_cap + 1), -1, jnp.int32)
+    out = out.at[rows, col].set(idx, mode="drop")
+    return out[:, :body_cap], overflow
+
+
+def _evaluate(
+    positions_grouped: jax.Array,  # [G, S, 2] group member positions
+    cells: jax.Array,  # [G, L, 3] approx list (x, y, mass)
+    direct_idx: jax.Array,  # [G, B] direct source body indices, -1 padded
+    sorted_x: jax.Array,  # [Ns] Morton-sorted source x
+    sorted_y: jax.Array,  # [Ns]
+    sorted_gm: jax.Array,  # [Ns] g * mass
+    *,
+    g_const: float,
+    softening: float,
+    group_chunk: int,
+):
+    """Dense body x (approx cells + direct bodies), chunked over groups.
+
+    Direct sources are raw sorted body values (bit-exact), so a member
+    body meeting itself is excluded by the d2 > 0 guard, exactly like the
+    all-pairs kernel.
+    """
+    f32 = positions_grouped.dtype
+    eps = jnp.asarray(softening, f32)
+
+    def chunk_fn(args):
+        p, c, di = args  # [C, S, 2], [C, L, 3], [C, B]
+        bx = p[:, :, 0:1]  # [C, S, 1]
+        by = p[:, :, 1:2]
+
+        def accum(sx, sy, sw):
+            # sx/sy/sw: [C, 1, K] source coords and premultiplied weights
+            dx = sx - bx  # [C, S, K]
+            dy = sy - by
+            d2 = dx * dx + dy * dy
+            valid = (d2 > 0.0) & (sw > 0.0)
+            d = jnp.sqrt(d2) + eps
+            w = jnp.where(
+                valid, sw / (jnp.where(valid, d2, 1.0) * d), 0.0
+            )
+            return jnp.sum(w * dx, axis=-1), jnp.sum(w * dy, axis=-1)
+
+        # approx cells
+        ax, ay = accum(
+            c[:, None, :, 0],
+            c[:, None, :, 1],
+            jnp.asarray(g_const, f32) * c[:, None, :, 2],
+        )
+
+        # direct bodies
+        dmask = di >= 0
+        sidx = jnp.where(dmask, di, 0)
+        dxs = sorted_x[sidx][:, None, :]  # [C, 1, B]
+        dys = sorted_y[sidx][:, None, :]
+        dws = jnp.where(dmask, sorted_gm[sidx], 0.0)[:, None, :]
+        ax2, ay2 = accum(dxs, dys, dws)
+        return ax + ax2, ay + ay2
+
+    n_groups = positions_grouped.shape[0]
+    chunk = min(group_chunk, n_groups)
+    pad = (-n_groups) % chunk
+    if pad:
+        positions_grouped = jnp.pad(
+            positions_grouped, ((0, pad), (0, 0), (0, 0))
+        )
+        cells = jnp.pad(cells, ((0, pad), (0, 0), (0, 0)))
+        direct_idx = jnp.pad(
+            direct_idx, ((0, pad), (0, 0)), constant_values=-1
+        )
+    ax, ay = jax.lax.map(
+        chunk_fn,
+        (
+            positions_grouped.reshape(
+                -1, chunk, *positions_grouped.shape[1:]
+            ),
+            cells.reshape(-1, chunk, *cells.shape[1:]),
+            direct_idx.reshape(-1, chunk, direct_idx.shape[1]),
+        ),
+    )
+    ax = ax.reshape(-1, positions_grouped.shape[1])[:n_groups]
+    ay = ay.reshape(-1, positions_grouped.shape[1])[:n_groups]
+    return ax, ay
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g",
+        "theta",
+        "max_depth",
+        "softening",
+        "group_size",
+        "frontier_cap",
+        "list_cap",
+        "direct_cap",
+        "direct_cell_max",
+        "direct_body_cap",
+        "group_chunk",
+        "return_diagnostics",
+    ),
+)
+def bh_accelerations_grouped(
+    positions: jax.Array,
+    masses: jax.Array,
+    *,
+    g: float,
+    theta: float = THETA_DEFAULT,
+    max_depth: int = MAX_DEPTH_DEFAULT,
+    softening: float = BH_SOFTENING,
+    group_size: int = 256,
+    frontier_cap: int = 1024,
+    list_cap: int = 768,
+    direct_cap: int = 768,
+    direct_cell_max: int = 32,
+    direct_body_cap: int = 3072,
+    group_chunk: int = 16,
+    return_diagnostics: bool = False,
+):
+    """Grouped Barnes-Hut accelerations [N, 2] (+ overflow [N] optional)."""
+    f32 = positions.dtype
+    tree = build_quadtree(positions, masses, max_depth=max_depth)
+    # source bodies in Morton order (what direct ranges index into)
+    src_order = jnp.argsort(tree.codes)
+    psort = positions[src_order]
+    return grouped_eval(
+        positions,
+        tree,
+        sorted_x=psort[:, 0],
+        sorted_y=psort[:, 1],
+        sorted_gm=jnp.asarray(g, f32) * masses[src_order],
+        g=g,
+        theta=theta,
+        softening=softening,
+        group_size=group_size,
+        frontier_cap=frontier_cap,
+        list_cap=list_cap,
+        direct_cap=direct_cap,
+        direct_cell_max=direct_cell_max,
+        direct_body_cap=direct_body_cap,
+        group_chunk=group_chunk,
+        return_diagnostics=return_diagnostics,
+        target_codes=tree.codes,
+    )
+
+
+def grouped_eval(
+    target_positions: jax.Array,  # [Nt, 2] bodies to accelerate
+    tree: Quadtree,
+    *,
+    sorted_x: jax.Array,  # [Ns] source bodies in Morton order
+    sorted_y: jax.Array,
+    sorted_gm: jax.Array,  # [Ns] g * mass in the same order
+    g: float,
+    theta: float = THETA_DEFAULT,
+    softening: float = BH_SOFTENING,
+    group_size: int = 256,
+    frontier_cap: int = 1024,
+    list_cap: int = 768,
+    direct_cap: int = 768,
+    direct_cell_max: int = 32,
+    direct_body_cap: int = 3072,
+    group_chunk: int = 16,
+    return_diagnostics: bool = False,
+    target_codes: jax.Array | None = None,
+):
+    """Grouped evaluation of arbitrary targets against a prebuilt tree.
+
+    ``sorted_*`` must be ALL source bodies in global Morton order (direct
+    ranges index into them; the tree's leaf counts define the ranges).
+    Targets may be any subset of the sources (multi-chip: each device
+    passes its local shard as targets against the gathered global
+    sources).  Self-exclusion needs no indices: a target meeting its own
+    singleton cell or its own entry in a direct range sees a bit-equal
+    position and is dropped by the d2 > 0 guard.
+    """
+    n = target_positions.shape[0]
+    f32 = target_positions.dtype
+
+    if target_codes is None:
+        target_codes = morton_codes(
+            target_positions, tree.bounds, tree.max_depth
+        )
+
+    # sort targets by Morton code so groups are spatially compact; pad to
+    # a group multiple with copies of the last body (tight trailing bbox;
+    # padded results are sliced off)
+    order = jnp.argsort(target_codes)
+    gs = min(group_size, max(n, 1))
+    n_pad = ((n + gs - 1) // gs) * gs
+    tsort = target_positions[order]
+    tsort = jnp.concatenate(
+        [tsort, jnp.broadcast_to(tsort[-1], (n_pad - n, 2))], axis=0
+    )
+    pg = tsort.reshape(-1, gs, 2)  # [G, S, 2]
+
+    bbox = (
+        jnp.min(pg[:, :, 0], axis=1),
+        jnp.max(pg[:, :, 0], axis=1),
+        jnp.min(pg[:, :, 1], axis=1),
+        jnp.max(pg[:, :, 1], axis=1),
+    )
+    cells, ranges, overflow_g = _collect_lists(
+        bbox,
+        tree,
+        theta=theta,
+        softening=softening,
+        frontier_cap=frontier_cap,
+        list_cap=list_cap,
+        direct_cap=direct_cap,
+        direct_cell_max=direct_cell_max,
+    )
+    direct_idx, ovf_b = _expand_ranges(
+        ranges, direct_cell_max, direct_body_cap
+    )
+    overflow_g = overflow_g | ovf_b
+    ax, ay = _evaluate(
+        pg,
+        cells,
+        direct_idx,
+        sorted_x,
+        sorted_y,
+        sorted_gm,
+        g_const=g,
+        softening=softening,
+        group_chunk=group_chunk,
+    )
+
+    acc_sorted = jnp.stack([ax.reshape(-1), ay.reshape(-1)], axis=-1)[:n]
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    acc = acc_sorted[inv]
+    if return_diagnostics:
+        ovf_sorted = jnp.repeat(overflow_g, gs)[:n]
+        return acc, ovf_sorted[inv]
+    return acc

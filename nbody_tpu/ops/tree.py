@@ -107,10 +107,16 @@ def leaf_aggregates(
     codes: jax.Array,
     max_depth: int,
 ):
-    """Per-leaf-cell (mass, mass*x, mass*y, count) via one segment-sum each
-    — the parallel-insert replacement for QuadInsert.  Each device computes
-    this over its *local* bodies; a psum over the mesh yields the global
-    tree (see nbody_tpu.parallel)."""
+    """Per-leaf-cell (mass, mass*x, mass*y, x, y, count) via one
+    segment-sum each — the parallel-insert replacement for QuadInsert.
+    Each device computes this over its *local* bodies; a psum over the
+    mesh yields the global tree (see nbody_tpu.parallel).
+
+    The unweighted position sums (x, y) exist so that a cell containing
+    exactly one body gets a COM *bit-equal* to that body's position (the
+    weighted m*x/m round-trip is not exact in f32): singleton cells then
+    self-exclude in interaction kernels via the d2 > 0 guard, replacing
+    the reference's occupant-index bookkeeping (project.cu:646)."""
     n_leaf = 4**max_depth
     m = jax.ops.segment_sum(masses, codes, num_segments=n_leaf)
     mx = jax.ops.segment_sum(
@@ -119,16 +125,20 @@ def leaf_aggregates(
     my = jax.ops.segment_sum(
         masses * positions[:, 1], codes, num_segments=n_leaf
     )
+    sx = jax.ops.segment_sum(positions[:, 0], codes, num_segments=n_leaf)
+    sy = jax.ops.segment_sum(positions[:, 1], codes, num_segments=n_leaf)
     cnt = jax.ops.segment_sum(
         jnp.ones(codes.shape, jnp.int32), codes, num_segments=n_leaf
     )
-    return m, mx, my, cnt
+    return m, mx, my, sx, sy, cnt
 
 
 def pyramid_from_leaves(
     m: jax.Array,
     mx: jax.Array,
     my: jax.Array,
+    sx: jax.Array,
+    sy: jax.Array,
     cnt: jax.Array,
     bounds: jax.Array,
     codes: jax.Array,
@@ -137,22 +147,25 @@ def pyramid_from_leaves(
 ) -> Quadtree:
     """4->1 reductions up the pyramid (replaces recursive ComputeMass)."""
 
-    def finish(m, mx, my, cnt) -> TreeLevel:
+    def finish(m, mx, my, sx, sy, cnt) -> TreeLevel:
         safe = jnp.where(m > 0, m, 1.0).astype(dtype)
+        # exact position for singleton cells (sums of a single term are
+        # exact at every level of the chain)
+        comx = jnp.where(cnt == 1, sx, (mx / safe)).astype(dtype)
+        comy = jnp.where(cnt == 1, sy, (my / safe)).astype(dtype)
         return TreeLevel(
-            mass=m.astype(dtype),
-            comx=(mx / safe).astype(dtype),
-            comy=(my / safe).astype(dtype),
-            count=cnt,
+            mass=m.astype(dtype), comx=comx, comy=comy, count=cnt
         )
 
-    levels: List[TreeLevel] = [finish(m, mx, my, cnt)]
+    levels: List[TreeLevel] = [finish(m, mx, my, sx, sy, cnt)]
     for _ in range(max_depth):
         m = m.reshape(-1, 4).sum(axis=1)
         mx = mx.reshape(-1, 4).sum(axis=1)
         my = my.reshape(-1, 4).sum(axis=1)
+        sx = sx.reshape(-1, 4).sum(axis=1)
+        sy = sy.reshape(-1, 4).sum(axis=1)
         cnt = cnt.reshape(-1, 4).sum(axis=1)
-        levels.append(finish(m, mx, my, cnt))
+        levels.append(finish(m, mx, my, sx, sy, cnt))
     levels.reverse()  # root first
     return Quadtree(levels=tuple(levels), bounds=bounds, codes=codes)
 
@@ -168,9 +181,12 @@ def build_quadtree(
     if bounds is None:
         bounds = root_bounds(positions)
     codes = morton_codes(positions, bounds, max_depth)
-    m, mx, my, cnt = leaf_aggregates(positions, masses, codes, max_depth)
+    m, mx, my, sx, sy, cnt = leaf_aggregates(
+        positions, masses, codes, max_depth
+    )
     return pyramid_from_leaves(
-        m, mx, my, cnt, bounds, codes, max_depth, dtype=positions.dtype
+        m, mx, my, sx, sy, cnt, bounds, codes, max_depth,
+        dtype=positions.dtype,
     )
 
 
