@@ -55,6 +55,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="write quadtree_{init,final}.txt (plot_quadtree.py)")
     p.add_argument("--output-dir", default=".")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--metrics-csv", default=None, metavar="FILE",
+                   help="per-step energy/momentum/tree-stats CSV")
     p.add_argument("--resume", metavar="NPZ", default=None,
                    help="resume from a checkpoint file")
     # parallelism
@@ -89,6 +91,7 @@ def _build_config(args):
         save_tree_dumps=args.save_tree_dumps,
         output_dir=args.output_dir,
         checkpoint_every=args.checkpoint_every,
+        metrics_csv=args.metrics_csv,
         mesh=MeshConfig(dp=args.devices),
     )
 

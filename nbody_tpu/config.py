@@ -131,9 +131,10 @@ class SimConfig:
     # per-thread DFS; used for parity testing and small N).
     bh_mode: str = "grouped"
     group_size: int = 256
-    list_cap: int = 4096
-    direct_cap: int = 512
+    list_cap: int = 768
+    direct_cap: int = 768
     direct_cell_max: int = 32
+    direct_body_cap: int = 3072
     group_chunk: int = 16
 
     # Parallelism.
@@ -149,6 +150,10 @@ class SimConfig:
     # SURVEY.md section 5.4).
     checkpoint_every: int = 0  # 0 = disabled
     checkpoint_path: Optional[str] = None
+
+    # Observability (SURVEY.md 5.5): per-step conserved-quantity / tree
+    # statistics CSV, opt-in by filename.
+    metrics_csv: Optional[str] = None
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -94,6 +94,7 @@ def make_accel_fn(config: SimConfig) -> Callable:
                 list_cap=config.list_cap,
                 direct_cap=config.direct_cap,
                 direct_cell_max=config.direct_cell_max,
+                direct_body_cap=config.direct_body_cap,
                 group_chunk=config.group_chunk,
             )
 

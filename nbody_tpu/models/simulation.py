@@ -82,6 +82,15 @@ class Simulation:
             )
             writer.append(float(state.time), np.asarray(state.positions))
 
+        metrics = None
+        if getattr(cfg, "metrics_csv", None):
+            from ..utils.metrics import MetricsWriter
+
+            metrics = MetricsWriter(
+                os.path.join(cfg.output_dir, cfg.metrics_csv), g=cfg.g
+            )
+            metrics.record(state)
+
         import time as _time
 
         t_total0 = _time.perf_counter()
@@ -98,6 +107,9 @@ class Simulation:
             if writer is not None:
                 writer.append(float(state.time), np.asarray(state.positions))
 
+            if metrics is not None:
+                metrics.record(state)
+
             if (
                 cfg.checkpoint_every
                 and (step_idx + 1) % cfg.checkpoint_every == 0
@@ -111,6 +123,8 @@ class Simulation:
 
         if writer is not None:
             writer.flush()
+        if metrics is not None:
+            metrics.flush()
 
         self.state = state
         return state, timing

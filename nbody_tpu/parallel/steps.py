@@ -272,6 +272,7 @@ def make_dp_barnes_hut_grouped_step(config: SimConfig, mesh: Mesh) -> Callable:
             list_cap=config.list_cap,
             direct_cap=config.direct_cap,
             direct_cell_max=config.direct_cell_max,
+            direct_body_cap=config.direct_body_cap,
             group_chunk=config.group_chunk,
         )
         return _integrate_arrays(positions, velocities, acc, dt, time, stepc)

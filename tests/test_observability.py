@@ -1,0 +1,81 @@
+"""Metrics CSV, debug validation, checkify force checks."""
+
+import csv
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu import SimConfig, make_state
+from nbody_tpu.physics import pair_accelerations_dense
+from nbody_tpu.utils.debug import checked_accel, validate_state
+from nbody_tpu.utils.metrics import MetricsWriter, tree_stats
+
+G = 6.67e-11
+
+
+def _state(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return make_state(
+        10 ** rng.uniform(-1, 0, n),
+        rng.uniform(-0.1, 0.1, (n, 2)),
+        rng.uniform(-1e-4, 1e-4, (n, 2)),
+    )
+
+
+def test_metrics_csv(tmp_path):
+    state = _state()
+    w = MetricsWriter(str(tmp_path / "m.csv"), g=G)
+    stats = tree_stats(state.positions, state.masses)
+    w.record(state, stats)
+    w.flush()
+    rows = list(csv.DictReader(open(tmp_path / "m.csv")))
+    assert len(rows) == 1
+    assert float(rows[0]["kinetic_energy"]) > 0
+    assert int(rows[0]["tree_nodes"]) >= 1
+    # adaptive tree size should be around the reference's ~3N empirical
+    # rule (observations.txt:59-65) — loose sanity bounds
+    assert 64 <= int(rows[0]["tree_nodes"]) <= 64 * 10
+
+
+def test_tree_stats_depth():
+    # two bodies in the same finest cell force full depth
+    state = make_state(
+        [1.0, 1.0, 1.0],
+        [[0.0, 0.0], [1e-9, 1e-9], [0.5, 0.5]],
+        [[0.0, 0.0]] * 3,
+    )
+    stats = tree_stats(state.positions, state.masses, max_depth=9)
+    assert stats["max_depth"] == 9
+
+
+def test_validate_state_rejects_bad():
+    state = _state()
+    validate_state(state)  # fine
+    bad = make_state(
+        np.asarray(state.masses),
+        np.where(np.arange(64)[:, None] == 3, np.nan, state.positions),
+        np.asarray(state.velocities),
+    )
+    with pytest.raises(ValueError, match="non-finite positions"):
+        validate_state(bad)
+
+
+def test_checked_accel_flags_nonfinite():
+    def bad_accel(positions, masses):
+        return pair_accelerations_dense(positions, masses, g=G) / 0.0
+
+    err, _ = checked_accel(bad_accel)(
+        jnp.asarray([[0.0, 0.0], [1.0, 0.0]]), jnp.asarray([1.0, 1.0])
+    )
+    with pytest.raises(Exception):
+        err.throw()
+
+    def good_accel(positions, masses):
+        return pair_accelerations_dense(positions, masses, g=G)
+
+    err, acc = checked_accel(good_accel)(
+        jnp.asarray([[0.0, 0.0], [1.0, 0.0]]), jnp.asarray([1.0, 1.0])
+    )
+    err.throw()  # no error
+    assert np.isfinite(np.asarray(acc)).all()
