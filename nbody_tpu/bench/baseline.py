@@ -1,0 +1,255 @@
+"""BASELINE.json benchmark configs as runnable scenarios.
+
+Run: ``python -m nbody_tpu.bench.baseline [--configs 1,2,3] [--out FILE]``
+
+The five configs (BASELINE.json "configs"):
+
+1. All-pairs N=1,024 from the reference's golden init triplet, 100 steps,
+   fixed dt — trajectory parity vs the f64 oracle of
+   main_approach_1.cpp semantics.
+2. All-pairs N=16,384 brute force on one TPU core (Pallas tiled kernel) —
+   throughput + force parity vs the dense XLA formulation.
+3. Barnes-Hut theta=0.5, N=65,536 — tree build + COM aggregation +
+   traversal timing, and quadtree_init/final dump writing (plot_quadtree
+   format; dumps are byte-identical to the reference builder per
+   tests/test_native.py).
+4. Strong scaling: Barnes-Hut N=262,144 across 1..n devices.
+5. Weak scaling: 131,072 bodies/device up to 1M bodies, sharded with the
+   per-step all_gather.
+
+Each config reports a JSON record; on a single real chip, configs 4-5 run
+only at the available device counts (the CI path runs them on the fake
+8-device CPU mesh instead — tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_DIR = os.environ.get(
+    "NBODY_REFERENCE_DIR", "/root/reference/implementation"
+)
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))  # scalar fetch = real sync (see bench.py)
+
+
+def _timeit(fn, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def config1():
+    """Golden-fixture all-pairs, 100 steps, parity vs the f64 oracle."""
+    import jax.numpy as jnp
+
+    from ..models import oracle
+    from ..physics import pair_accelerations_dense
+    from ..utils.textio import load_init_triplet
+
+    n, steps, g = 1024, 100, 6.67e-11
+    m, p, v = load_init_triplet(
+        os.path.join(REF_DIR, "masses_init.txt"),
+        os.path.join(REF_DIR, "positions_init.txt"),
+        os.path.join(REF_DIR, "velocities_init.txt"),
+        n,
+    )
+    want = oracle.simulate(p, v, m, steps, dt=1.0, g=g, engine="naive")[-1]
+
+    pj = jnp.asarray(p, jnp.float32)
+    vj = jnp.asarray(v, jnp.float32)
+    mj = jnp.asarray(m, jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        acc = pair_accelerations_dense(pj, mj, g=g)
+        vj = vj + acc
+        pj = pj + vj
+    _sync(pj)
+    elapsed = time.perf_counter() - t0
+    err = np.abs(np.asarray(pj) - want)
+    scale = np.abs(want).max()
+    return {
+        "config": 1,
+        "n": n,
+        "steps": steps,
+        "seconds": elapsed,
+        "rms_rel_err_vs_oracle": float(np.sqrt((err**2).mean()) / scale),
+        "max_rel_err_vs_oracle": float(err.max() / scale),
+        "pass_1e-3": bool(np.quantile(err, 0.995) < 1e-3 * scale),
+    }
+
+
+def config2():
+    """Pallas all-pairs at N=16,384: throughput + parity vs dense XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.allpairs import allpairs_accelerations
+    from ..physics import pair_accelerations_dense
+
+    n, g = 16384, 6.67e-11
+    interpret = jax.default_backend() != "tpu"
+    rng = np.random.default_rng(0)
+    mj = jnp.asarray(10 ** rng.uniform(-1, np.log10(0.5), n), jnp.float32)
+    pj = jnp.asarray(rng.uniform(-0.1, 0.1, (n, 2)), jnp.float32)
+
+    acc = allpairs_accelerations(pj, mj, g=g, interpret=interpret)
+    want = pair_accelerations_dense(pj, mj, g=g)
+    rel = float(
+        jnp.max(jnp.abs(acc - want)) / jnp.max(jnp.abs(want))
+    )
+
+    def run():
+        p2 = jnp.asarray(rng.uniform(-0.1, 0.1, (n, 2)), jnp.float32)
+        _sync(allpairs_accelerations(p2, mj, g=g, interpret=interpret))
+
+    run()
+    sec = _timeit(run)
+    return {
+        "config": 2,
+        "n": n,
+        "pairs_per_sec": n * n / sec,
+        "max_rel_err_vs_dense": rel,
+    }
+
+
+def config3(out_dir="."):
+    """Barnes-Hut theta=0.5 at N=65,536 + dump writing."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.bh_grouped import bh_accelerations_grouped
+    from ..ops.tree import build_quadtree
+
+    n, g = 65536, 6.67e-11
+    rng = np.random.default_rng(0)
+    m = (10 ** rng.uniform(-1, np.log10(0.5), n)).astype(np.float32)
+    p = rng.uniform(-0.1, 0.1, (n, 2)).astype(np.float32)
+    mj, pj = jnp.asarray(m), jnp.asarray(p)
+
+    tree = build_quadtree(pj, mj, max_depth=9)
+    _sync(tree.levels[0].mass)
+
+    def build():
+        _sync(build_quadtree(pj, mj, max_depth=9).levels[0].mass)
+
+    build_sec = _timeit(build)
+
+    acc, ovf = bh_accelerations_grouped(
+        pj, mj, g=g, theta=0.5, return_diagnostics=True
+    )
+
+    def force():
+        p2 = jnp.asarray(rng.uniform(-0.1, 0.1, (n, 2)), jnp.float32)
+        _sync(bh_accelerations_grouped(p2, mj, g=g, theta=0.5))
+
+    force()
+    force_sec = _timeit(force)
+
+    # dumps via the native reference builder (byte-identical contract)
+    dump_ok = False
+    try:
+        from ..utils import native
+
+        text = native.tree_dump(p.astype(np.float64), m.astype(np.float64))
+        with open(os.path.join(out_dir, "quadtree_init_baseline.txt"), "w") as f:
+            f.write(text)
+        dump_ok = True
+    except Exception:
+        pass
+    return {
+        "config": 3,
+        "n": n,
+        "tree_build_seconds": build_sec,
+        "force_pass_seconds": force_sec,
+        "steps_per_sec": 1.0 / (build_sec + force_sec),
+        "overflowed_bodies": int(np.asarray(ovf).sum()),
+        "dump_written": dump_ok,
+        "ref_best_step_seconds_40k": 0.0065,  # project_report.pdf p.24
+    }
+
+
+def config45(weak: bool):
+    """Strong (fixed N=262,144) / weak (131,072 per device) scaling."""
+    import jax
+
+    from ..config import MeshConfig, SimConfig
+    from ..parallel import make_mesh, make_sharded_step, shard_state
+    from ..rng import random_state
+
+    n_dev_max = jax.device_count()
+    results = []
+    counts = [d for d in (1, 2, 4, 8) if d <= n_dev_max]
+    for n_dev in counts:
+        n = 131072 * n_dev if weak else 262144
+        cfg = SimConfig(
+            n_bodies=n,
+            engine="barnes_hut",
+            mesh=MeshConfig(dp=n_dev),
+            group_chunk=8,
+        )
+        state = random_state(cfg)
+        mesh = make_mesh(n_dev)
+        state = shard_state(state, mesh)
+        step = make_sharded_step(cfg, mesh, "dp_barnes_hut_grouped")
+        state = step(state)
+        _sync(state.positions)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state = step(state)
+        _sync(state.positions)
+        sec = (time.perf_counter() - t0) / 3
+        results.append({"devices": n_dev, "n": n, "step_seconds": sec})
+    base = results[0]["step_seconds"]
+    for r in results:
+        r["speedup"] = base / r["step_seconds"] if not weak else None
+        r["efficiency"] = (
+            base / r["step_seconds"] / r["devices"] if not weak else
+            base / r["step_seconds"]
+        )
+    return {"config": 5 if weak else 4, "points": results}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--out", default="baseline_results.json")
+    args = ap.parse_args(argv)
+    wanted = {int(c) for c in args.configs.split(",")}
+    report = []
+    for c in sorted(wanted):
+        print(f"running config {c}...", file=sys.stderr)
+        try:
+            if c == 1:
+                report.append(config1())
+            elif c == 2:
+                report.append(config2())
+            elif c == 3:
+                report.append(config3())
+            elif c == 4:
+                report.append(config45(weak=False))
+            elif c == 5:
+                report.append(config45(weak=True))
+        except Exception as e:  # record the failure, keep going
+            report.append({"config": c, "error": str(e)[:500]})
+        print(json.dumps(report[-1]), file=sys.stderr)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,20 +50,27 @@ from ..config import (
 from .tree import Quadtree, build_quadtree, level_cell_size, morton_codes
 
 
-def _scatter_append(buf, count, mask, values, cap, rows):
-    """Append masked row entries to per-row compacted buffers [G, cap].
+_INT_MAX = jnp.int32(2**31 - 1)
 
-    Returns (new_buf, new_count, overflowed [G]).  Dropped entries land in
-    a sacrificial pad column."""
-    pos = count[:, None] + jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
-    overflow = jnp.max(jnp.where(mask, pos, -1), axis=1) >= cap
-    col = jnp.where(mask, jnp.minimum(pos, cap), cap)
-    out = (
-        jnp.pad(buf, ((0, 0), (0, 1)))
-        .at[rows, col]
-        .set(values, mode="drop")[:, :cap]
+
+def _sort_compact(mask, arrays, cap):
+    """Compact masked row entries to the left and truncate to ``cap``.
+
+    Scatter-free: TPU scatters serialize, but lax.sort is fast bitonic VPU
+    work.  Entries keep their left-to-right order (key = column index for
+    valid, INT_MAX for invalid).
+
+    Returns (compacted arrays [G, cap], overflow [G] bool).
+    """
+    g, f = mask.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, f), 1)
+    key = jnp.where(mask, col, _INT_MAX)
+    sorted_ = jax.lax.sort(
+        [key] + list(arrays), dimension=1, num_keys=1, is_stable=False
     )
-    return out, count + jnp.sum(mask, axis=1).astype(jnp.int32), overflow
+    out = [a[:, :cap] for a in sorted_[1:]]
+    overflow = jnp.sum(mask, axis=1) > cap
+    return out, overflow
 
 
 def _collect_lists(
@@ -103,14 +110,6 @@ def _collect_lists(
     g = x0.shape[0]
     f32 = x0.dtype
     max_depth = tree.max_depth
-
-    out_x = jnp.zeros((g, list_cap), f32)
-    out_y = jnp.zeros((g, list_cap), f32)
-    out_m = jnp.zeros((g, list_cap), f32)
-    out_n = jnp.zeros((g,), jnp.int32)
-    dir_start = jnp.zeros((g, direct_cap), jnp.int32)
-    dir_count = jnp.zeros((g, direct_cap), jnp.int32)
-    dir_n = jnp.zeros((g,), jnp.int32)
     overflow = jnp.zeros((g,), bool)
 
     # per-cell body ranges in the Morton-sorted order: cumulative counts
@@ -123,18 +122,13 @@ def _collect_lists(
     frontier = jnp.zeros((g, 1), jnp.int32)  # root
     fcap = 1
 
-    rows_cache = {}
-
-    def rows(cols):
-        if cols not in rows_cache:
-            rows_cache[cols] = jax.lax.broadcasted_iota(
-                jnp.int32, (g, cols), 0
-            )
-        return rows_cache[cols]
+    # per-level emitted candidates, concatenated and compacted ONCE at the
+    # end (one sort instead of per-level scatters)
+    app_x, app_y, app_m, app_mask = [], [], [], []
+    dir_s, dir_c, dir_mask = [], [], []
 
     for level in range(max_depth + 1):
         lv = tree.levels[level]
-        f = frontier.shape[1]
         valid = frontier >= 0
         idx = jnp.where(valid, frontier, 0)
         m = lv.mass[idx]  # [G, F]
@@ -160,25 +154,17 @@ def _collect_lists(
             & (cnt <= direct_cell_max)
         )
 
-        r = rows(f)
-        out_x, _, ov1 = _scatter_append(out_x, out_n, approx, cx, list_cap, r)
-        out_y, _, _ = _scatter_append(out_y, out_n, approx, cy, list_cap, r)
-        out_m, out_n, _ = _scatter_append(
-            out_m, out_n, approx, m, list_cap, r
-        )
-        overflow = overflow | ov1
+        app_x.append(cx)
+        app_y.append(cy)
+        app_m.append(jnp.where(approx, m, 0.0))
+        app_mask.append(approx)
 
         # body range of each direct cell: the cell at `level` covers leaf
         # cells [c << s, (c+1) << s) with s = 2*(max_depth-level)
         shift = 2 * (max_depth - level)
-        starts = leaf_cum[idx << shift]
-        dir_start, _, ov2 = _scatter_append(
-            dir_start, dir_n, direct, starts, direct_cap, r
-        )
-        dir_count, dir_n, _ = _scatter_append(
-            dir_count, dir_n, direct, jnp.where(direct, cnt, 0), direct_cap, r
-        )
-        overflow = overflow | ov2
+        dir_s.append(leaf_cum[idx << shift])
+        dir_c.append(jnp.where(direct, cnt, 0))
+        dir_mask.append(direct)
 
         if level == max_depth:
             break
@@ -186,23 +172,39 @@ def _collect_lists(
         open_ = multi & ~theta_ok & ~direct
         children = (
             idx[:, :, None] * 4 + jnp.arange(4, dtype=jnp.int32)
-        ).reshape(g, 4 * f)
+        ).reshape(g, -1)
         child_cnt = tree.levels[level + 1].count[children]
         cmask = jnp.repeat(open_, 4, axis=1) & (child_cnt > 0)
 
         next_cap = min(4 * fcap, frontier_cap, 4 ** (level + 1))
-        cpos = jnp.cumsum(cmask.astype(jnp.int32), axis=1) - 1
-        overflow = overflow | (
-            jnp.max(jnp.where(cmask, cpos, -1), axis=1) >= next_cap
+        (nf,), ovf = _sort_compact(
+            cmask, [jnp.where(cmask, children, -1)], next_cap
         )
-        ccol = jnp.where(cmask, jnp.minimum(cpos, next_cap), next_cap)
-        nxt = jnp.full((g, next_cap + 1), -1, jnp.int32)
-        nxt = nxt.at[rows(4 * f), ccol].set(children, mode="drop")
-        frontier = nxt[:, :next_cap]
+        overflow = overflow | ovf
+        frontier = nf
         fcap = next_cap
 
-    cells = jnp.stack([out_x, out_y, out_m], axis=-1)  # [G, L, 3]
-    ranges = jnp.stack([dir_start, dir_count], axis=-1)  # [G, D, 2]
+    (lx, ly, lm), ovf_a = _sort_compact(
+        jnp.concatenate(app_mask, axis=1),
+        [
+            jnp.concatenate(app_x, axis=1),
+            jnp.concatenate(app_y, axis=1),
+            jnp.concatenate(app_m, axis=1),
+        ],
+        list_cap,
+    )
+    (ds, dc), ovf_d = _sort_compact(
+        jnp.concatenate(dir_mask, axis=1),
+        [
+            jnp.concatenate(dir_s, axis=1),
+            jnp.concatenate(dir_c, axis=1),
+        ],
+        direct_cap,
+    )
+    overflow = overflow | ovf_a | ovf_d
+
+    cells = jnp.stack([lx, ly, lm], axis=-1)  # [G, L, 3]
+    ranges = jnp.stack([ds, dc], axis=-1)  # [G, D, 2]
     return cells, ranges, overflow
 
 
@@ -220,13 +222,10 @@ def _expand_ranges(
     offs = jnp.arange(t, dtype=jnp.int32)
     idx = (starts[:, :, None] + offs).reshape(g, d * t)
     mask = (offs[None, None, :] < counts[:, :, None]).reshape(g, d * t)
-    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
-    overflow = jnp.max(jnp.where(mask, pos, -1), axis=1) >= body_cap
-    col = jnp.where(mask, jnp.minimum(pos, body_cap), body_cap)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (g, d * t), 0)
-    out = jnp.full((g, body_cap + 1), -1, jnp.int32)
-    out = out.at[rows, col].set(idx, mode="drop")
-    return out[:, :body_cap], overflow
+    (out,), overflow = _sort_compact(
+        mask, [jnp.where(mask, idx, -1)], body_cap
+    )
+    return out, overflow
 
 
 def _evaluate(
