@@ -112,8 +112,30 @@ def _collect_lists(
     max_depth = tree.max_depth
     overflow = jnp.zeros((g,), bool)
 
+    # Packed per-cell rows [4^l, 8]: [mass, comx, comy, count, child
+    # counts x4].  A row gather costs the same as a single-field gather on
+    # TPU (~7 ns/row, latency-bound), so packing turns five gathers per
+    # level (4 fields + pruning the children) into ONE.
+    packed = []
+    for level in range(max_depth + 1):
+        lv = tree.levels[level]
+        cnt_f = lv.count.astype(f32)
+        if level < max_depth:
+            ccnt = (
+                tree.levels[level + 1].count.astype(f32).reshape(-1, 4)
+            )
+        else:
+            ccnt = jnp.zeros((lv.count.shape[0], 4), f32)
+        packed.append(
+            jnp.stack(
+                [lv.mass, lv.comx, lv.comy, cnt_f], axis=1
+            ).astype(f32)
+        )
+        packed[-1] = jnp.concatenate([packed[-1], ccnt], axis=1)
+
     # per-cell body ranges in the Morton-sorted order: cumulative counts
-    # over the finest level give [start, end) for any cell at any level
+    # over the finest level give [start, end) for any cell at any level.
+    # starts are carried as f32 in the packed flow (exact below 2^24).
     leaf_cnt = tree.levels[max_depth].count
     leaf_cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(leaf_cnt).astype(jnp.int32)]
@@ -128,13 +150,14 @@ def _collect_lists(
     dir_s, dir_c, dir_mask = [], [], []
 
     for level in range(max_depth + 1):
-        lv = tree.levels[level]
         valid = frontier >= 0
         idx = jnp.where(valid, frontier, 0)
-        m = lv.mass[idx]  # [G, F]
-        cx = lv.comx[idx]
-        cy = lv.comy[idx]
-        cnt = lv.count[idx]
+        rows = packed[level][idx]  # [G, F, 8] — the one gather
+        m = rows[..., 0]
+        cx = rows[..., 1]
+        cy = rows[..., 2]
+        cnt = rows[..., 3]
+        one = jnp.asarray(1.0, f32)
 
         # distance from the group bbox to the cell COM (0 if inside)
         dx = jnp.maximum(jnp.maximum(x0[:, None] - cx, cx - x1[:, None]), 0.0)
@@ -144,8 +167,8 @@ def _collect_lists(
         theta_ok = size < theta * d_min
 
         nonempty = valid & (cnt > 0) & (m > MASS_SKIP_THRESHOLD)
-        single = nonempty & (cnt == 1)
-        multi = nonempty & (cnt > 1)
+        single = nonempty & (cnt == one)
+        multi = nonempty & (cnt > one)
         approx = single | (multi & (theta_ok | (level == max_depth)))
         direct = (
             multi
@@ -159,11 +182,12 @@ def _collect_lists(
         app_m.append(jnp.where(approx, m, 0.0))
         app_mask.append(approx)
 
-        # body range of each direct cell: the cell at `level` covers leaf
-        # cells [c << s, (c+1) << s) with s = 2*(max_depth-level)
+        # direct cells are carried as their first-leaf-cell index
+        # (c << 2*(max_depth-level), pure int math — the leaf_cum lookup
+        # happens once on the compacted list, not per frontier entry)
         shift = 2 * (max_depth - level)
-        dir_s.append(leaf_cum[idx << shift])
-        dir_c.append(jnp.where(direct, cnt, 0))
+        dir_s.append(idx << shift)
+        dir_c.append(jnp.where(direct, cnt.astype(jnp.int32), 0))
         dir_mask.append(direct)
 
         if level == max_depth:
@@ -173,8 +197,11 @@ def _collect_lists(
         children = (
             idx[:, :, None] * 4 + jnp.arange(4, dtype=jnp.int32)
         ).reshape(g, -1)
-        child_cnt = tree.levels[level + 1].count[children]
-        cmask = jnp.repeat(open_, 4, axis=1) & (child_cnt > 0)
+        # children pruned by the child counts delivered in the packed row
+        # — no extra gather
+        cmask = jnp.repeat(open_, 4, axis=1) & (
+            rows[..., 4:8].reshape(g, -1) > 0
+        )
 
         next_cap = min(4 * fcap, frontier_cap, 4 ** (level + 1))
         (nf,), ovf = _sort_compact(
@@ -193,7 +220,7 @@ def _collect_lists(
         ],
         list_cap,
     )
-    (ds, dc), ovf_d = _sort_compact(
+    (dleaf, dc), ovf_d = _sort_compact(
         jnp.concatenate(dir_mask, axis=1),
         [
             jnp.concatenate(dir_s, axis=1),
@@ -201,6 +228,8 @@ def _collect_lists(
         ],
         direct_cap,
     )
+    # one gather on the compacted list resolves leaf cell -> body range
+    ds = jnp.where(dc > 0, leaf_cum[jnp.where(dc > 0, dleaf, 0)], 0)
     overflow = overflow | ovf_a | ovf_d
 
     cells = jnp.stack([lx, ly, lm], axis=-1)  # [G, L, 3]
@@ -248,6 +277,10 @@ def _evaluate(
     """
     f32 = positions_grouped.dtype
     eps = jnp.asarray(softening, f32)
+    # pack (x, y, gm, 0) so the direct gather is one row lookup per body
+    src_packed = jnp.stack(
+        [sorted_x, sorted_y, sorted_gm, jnp.zeros_like(sorted_x)], axis=1
+    )
 
     def chunk_fn(args):
         p, c, di = args  # [C, S, 2], [C, L, 3], [C, B]
@@ -273,12 +306,13 @@ def _evaluate(
             jnp.asarray(g_const, f32) * c[:, None, :, 2],
         )
 
-        # direct bodies
+        # direct bodies: one packed row gather [C, B, 4]
         dmask = di >= 0
         sidx = jnp.where(dmask, di, 0)
-        dxs = sorted_x[sidx][:, None, :]  # [C, 1, B]
-        dys = sorted_y[sidx][:, None, :]
-        dws = jnp.where(dmask, sorted_gm[sidx], 0.0)[:, None, :]
+        rows = src_packed[sidx]
+        dxs = rows[..., 0][:, None, :]  # [C, 1, B]
+        dys = rows[..., 1][:, None, :]
+        dws = jnp.where(dmask, rows[..., 2], 0.0)[:, None, :]
         ax2, ay2 = accum(dxs, dys, dws)
         return ax + ax2, ay + ay2
 

@@ -157,3 +157,25 @@ def read_positions_file(path: str) -> np.ndarray:
                 continue
             rows.append([float(v) for v in vals])
     return np.asarray(rows)
+
+
+def format_bodies(masses, positions, velocities) -> str:
+    """printBodies pretty-printer (project.cu:838-853)."""
+    masses = np.asarray(masses)
+    positions = np.asarray(positions)
+    velocities = np.asarray(velocities)
+    out = []
+    for i in range(masses.shape[0]):
+        out.append(f"Body {i}:")
+        out.append(f"  Mass: {cxx_ostream(masses[i])}")
+        out.append(
+            "  Position: [ "
+            + " ".join(cxx_ostream(c) for c in positions[i])
+            + " ]"
+        )
+        out.append(
+            "  Velocity: [ "
+            + " ".join(cxx_ostream(c) for c in velocities[i])
+            + " ]"
+        )
+    return "\n".join(out)

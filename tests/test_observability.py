@@ -79,3 +79,27 @@ def test_checked_accel_flags_nonfinite():
     )
     err.throw()  # no error
     assert np.isfinite(np.asarray(acc)).all()
+
+
+def test_occupancy_model():
+    from nbody_tpu.utils.occupancy import allpairs_tiles, tree_fits_vmem
+
+    cfg = allpairs_tiles(65536)
+    assert cfg.target_block % 8 == 0
+    assert cfg.source_block % 128 == 0
+    assert cfg.working_set_bytes <= 16 * 1024 * 1024
+    # the reference's depth cap always fits on-chip; depth 12 does not
+    assert tree_fits_vmem(9)
+    assert not tree_fits_vmem(12)
+
+
+def test_format_bodies():
+    from nbody_tpu.utils.textio import format_bodies
+
+    out = format_bodies([1.5], [[0.25, -0.5]], [[1e-4, 0.0]])
+    assert out.splitlines() == [
+        "Body 0:",
+        "  Mass: 1.5",
+        "  Position: [ 0.25 -0.5 ]",
+        "  Velocity: [ 0.0001 0 ]",
+    ]
