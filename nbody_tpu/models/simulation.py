@@ -137,6 +137,30 @@ class Simulation:
         return self.state
 
     # ------------------------------------------------------------------
+    def run_scan_trajectory(self, n_steps: Optional[int] = None):
+        """Compiled run that also returns the stacked position history
+        [n_steps + 1, N, 2] (step 0 included, like savePositions) — the
+        device-side equivalent of the per-step positions.txt capture."""
+        n = n_steps if n_steps is not None else self.config.n_steps
+        step = self.step_fn
+
+        @jax.jit
+        def scan_traj(state: SimState):
+            def body(s, _):
+                s2 = step(s)
+                return s2, s2.positions
+
+            final, history = jax.lax.scan(body, state, None, length=n)
+            traj = jnp.concatenate(
+                [state.positions[None], history], axis=0
+            )
+            return final, traj
+
+        final, traj = scan_traj(self.state)
+        self.state = final
+        return final, traj
+
+    # ------------------------------------------------------------------
     def _checkpoint_path(self) -> str:
         cfg = self.config
         return cfg.checkpoint_path or os.path.join(
