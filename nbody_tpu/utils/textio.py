@@ -179,3 +179,30 @@ def format_bodies(masses, positions, velocities) -> str:
             + " ]"
         )
     return "\n".join(out)
+
+
+def check_equal(first, second, name: str, tol: float = 1e-10) -> bool:
+    """Element-wise comparison with the reference's verdict contract
+    (checkEqual, project.cu:1027-1047): prints each first difference per
+    row beyond ``tol`` and a final verdict line."""
+    first = np.asarray(first)
+    second = np.asarray(second)
+    all_equal = True
+    for i in range(first.shape[0]):
+        row_a = np.atleast_1d(first[i])
+        row_b = np.atleast_1d(second[i])
+        for j in range(row_a.shape[0]):
+            diff = abs(float(row_a[j]) - float(row_b[j]))
+            if diff > tol:
+                all_equal = False
+                print(
+                    f"Difference at index [{i}][{j}]: "
+                    f"first = {row_a[j]}, second = {row_b[j]} , "
+                    f"and the diff is: {diff}"
+                )
+                break
+    if all_equal:
+        print(f"\nThe {name} are the same.", end="")
+    else:
+        print(f"\n\n!!!!! The {name} are NOT the same !!!!!\n")
+    return all_equal

@@ -148,3 +148,15 @@ def test_dump_negative_encoding_single_occupant_max_depth():
         if m and int(m.group(1)) <= -2
     }
     assert found == {-2, -3}  # -0-2 and -1-2
+
+
+def test_check_equal(capsys):
+    """checkEqual verdict contract (project.cu:1027-1047)."""
+    from nbody_tpu.utils.textio import check_equal
+
+    a = np.zeros((3, 2))
+    assert check_equal(a, a + 1e-12, "final positions")
+    assert "are the same" in capsys.readouterr().out
+    assert not check_equal(a, a + 1e-3, "final positions")
+    out = capsys.readouterr().out
+    assert "NOT the same" in out and "Difference at index [0][0]" in out
