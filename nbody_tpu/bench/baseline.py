@@ -234,13 +234,13 @@ def config3(out_dir="."):
     )
 
     acc, ovf = bh_accelerations_grouped(
-        pj, mj, g=g, theta=0.5, direct_body_cap=16384, group_chunk=8,
+        pj, mj, g=g, theta=0.5, direct_body_cap=8192, group_chunk=8,
         return_diagnostics=True,
     )
 
     force_sec = _slope_step_seconds(
         lambda p: bh_accelerations_grouped(
-            p, mj, g=g, theta=0.5, direct_body_cap=16384, group_chunk=8
+            p, mj, g=g, theta=0.5, direct_body_cap=8192, group_chunk=8
         ),
         fresh,
     )

@@ -134,7 +134,7 @@ class SimConfig:
     list_cap: int = 768
     direct_cap: int = 768
     direct_cell_max: int = 32
-    direct_body_cap: int = 3072
+    direct_body_cap: int = 8192
     group_chunk: int = 16
 
     # Parallelism.

@@ -74,7 +74,7 @@ def _sort_compact(mask, arrays, cap):
 
 
 def _collect_lists(
-    bbox: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],  # [G] each
+    bbox: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],  # [G, Q] each
     tree: Quadtree,
     *,
     theta: float,
@@ -106,7 +106,12 @@ def _collect_lists(
              ranges [G, D, 2] (start, count) zero-count padded,
              overflow [G] bool).
     """
-    x0, x1, y0, y1 = bbox
+    # Sub-bboxes: each group carries Q bounding boxes (quarters of its
+    # Morton run).  d_min = min over sub-boxes is a tighter-but-still-valid
+    # lower bound on any member's distance; critically, a group whose run
+    # straddles a Morton seam (e.g. the domain centre) has a huge union
+    # bbox but tight quarters, so it no longer opens half the tree.
+    x0, x1, y0, y1 = bbox  # [G, Q]
     g = x0.shape[0]
     f32 = x0.dtype
     max_depth = tree.max_depth
@@ -159,10 +164,19 @@ def _collect_lists(
         cnt = rows[..., 3]
         one = jnp.asarray(1.0, f32)
 
-        # distance from the group bbox to the cell COM (0 if inside)
-        dx = jnp.maximum(jnp.maximum(x0[:, None] - cx, cx - x1[:, None]), 0.0)
-        dy = jnp.maximum(jnp.maximum(y0[:, None] - cy, cy - y1[:, None]), 0.0)
-        d_min = jnp.sqrt(dx * dx + dy * dy) + jnp.asarray(softening, f32)
+        # distance from each sub-bbox to the cell COM (0 if inside); the
+        # binding bound is the minimum over sub-boxes
+        cxe = cx[:, None, :]  # [G, 1, F]
+        cye = cy[:, None, :]
+        dx = jnp.maximum(
+            jnp.maximum(x0[:, :, None] - cxe, cxe - x1[:, :, None]), 0.0
+        )  # [G, Q, F]
+        dy = jnp.maximum(
+            jnp.maximum(y0[:, :, None] - cye, cye - y1[:, :, None]), 0.0
+        )
+        d_min = jnp.min(jnp.sqrt(dx * dx + dy * dy), axis=1) + jnp.asarray(
+            softening, f32
+        )  # [G, F]
         size = level_cell_size(tree.bounds, level).astype(f32)
         theta_ok = size < theta * d_min
 
@@ -372,7 +386,7 @@ def bh_accelerations_grouped(
     list_cap: int = 768,
     direct_cap: int = 768,
     direct_cell_max: int = 32,
-    direct_body_cap: int = 3072,
+    direct_body_cap: int = 8192,
     group_chunk: int = 16,
     return_diagnostics: bool = False,
 ):
@@ -418,7 +432,7 @@ def grouped_eval(
     list_cap: int = 768,
     direct_cap: int = 768,
     direct_cell_max: int = 32,
-    direct_body_cap: int = 3072,
+    direct_body_cap: int = 8192,
     group_chunk: int = 16,
     return_diagnostics: bool = False,
     target_codes: jax.Array | None = None,
@@ -453,11 +467,15 @@ def grouped_eval(
     )
     pg = tsort.reshape(-1, gs, 2)  # [G, S, 2]
 
+    # Q sub-bboxes per group over quarters of the sorted run (tight even
+    # when the run straddles a Morton seam; see _collect_lists)
+    n_sub = 4 if gs % 4 == 0 else 1
+    sub = pg.reshape(pg.shape[0], n_sub, gs // n_sub, 2)
     bbox = (
-        jnp.min(pg[:, :, 0], axis=1),
-        jnp.max(pg[:, :, 0], axis=1),
-        jnp.min(pg[:, :, 1], axis=1),
-        jnp.max(pg[:, :, 1], axis=1),
+        jnp.min(sub[..., 0], axis=2),
+        jnp.max(sub[..., 0], axis=2),
+        jnp.min(sub[..., 1], axis=2),
+        jnp.max(sub[..., 1], axis=2),
     )
     cells, ranges, overflow_g = _collect_lists(
         bbox,
