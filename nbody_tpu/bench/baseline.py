@@ -269,18 +269,22 @@ def config3(out_dir="."):
 
 
 def config45(weak: bool):
-    """Strong (fixed N=262,144) / weak (131,072 per device) scaling."""
+    """Strong (fixed N=262,144) / weak (131,072 per device) scaling.
+
+    NBODY_BASELINE_SCALE divides the body counts (CI runs the protocol at
+    reduced size on the fake 8-device CPU mesh)."""
     import jax
 
     from ..config import MeshConfig, SimConfig
     from ..parallel import make_mesh, make_sharded_step, shard_state
     from ..rng import random_state
 
+    scale = int(os.environ.get("NBODY_BASELINE_SCALE", "1"))
     n_dev_max = jax.device_count()
     results = []
     counts = [d for d in (1, 2, 4, 8) if d <= n_dev_max]
     for n_dev in counts:
-        n = 131072 * n_dev if weak else 262144
+        n = (131072 * n_dev if weak else 262144) // scale
         cfg = SimConfig(
             n_bodies=n,
             engine="barnes_hut",
