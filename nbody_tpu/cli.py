@@ -168,6 +168,19 @@ def cmd_sweep(args) -> int:
     return run_sweep(args)
 
 
+def cmd_plot(args) -> int:
+    from .bench import plots
+
+    if args.positions:
+        print(plots.trajectories(args.positions, args.out))
+    if args.quadtree:
+        print(plots.quadtree(args.quadtree, args.out))
+    if not args.positions and not args.quadtree:
+        print("nothing to plot: pass --positions and/or --quadtree")
+        return 2
+    return 0
+
+
 def cmd_bench(args) -> int:
     """Convenience alias: the repo-root bench.py headline metric."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -212,6 +225,14 @@ def main(argv=None) -> int:
 
     p_bench = sub.add_parser("bench", help="headline benchmark JSON line")
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_plot = sub.add_parser(
+        "plot", help="vectorised analysis plots (large-N capable)"
+    )
+    p_plot.add_argument("--positions", default=None, metavar="FILE")
+    p_plot.add_argument("--quadtree", default=None, metavar="FILE")
+    p_plot.add_argument("--out", default=None)
+    p_plot.set_defaults(fn=cmd_plot)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -251,30 +251,53 @@ def _collect_lists(
     return cells, ranges, overflow
 
 
-def _expand_ranges(
+_SB = 8  # bodies per superblock (one packed gather row)
+
+
+def _expand_ranges_superblocks(
     ranges: jax.Array,  # [G, D, 2] (start, count)
     direct_cell_max: int,
-    body_cap: int,
+    sb_cap: int,
 ):
-    """Expand direct cell ranges to a compact per-group body index list
-    [G, body_cap] (-1 padded) + overflow [G]."""
+    """Expand direct cell ranges to a compact per-group *superblock* list.
+
+    Direct sources are gathered eight bodies at a time: a packed 24-wide
+    row costs the same as a 1-wide row on TPU (latency-bound, see PERF.md),
+    so fetching 8-body superblocks cuts the dominant gather volume ~8x.
+    Each range [start, start+count) covers at most
+    ceil((count + SB - 1) / SB) + 1 superblocks.
+
+    Returns (sb_idx [G, C], lane lo [G, C], lane hi [G, C], overflow [G]);
+    invalid entries have sb_idx == -1.  Per-lane masking against
+    [lo, hi) happens in the evaluator (superblocks may contain bodies
+    outside the range; ranges are disjoint so nothing double-counts).
+    """
     g, d, _ = ranges.shape
-    t = direct_cell_max
+    t_sb = (direct_cell_max + 2 * (_SB - 1)) // _SB + 1
     starts = ranges[:, :, 0]
     counts = ranges[:, :, 1]
-    offs = jnp.arange(t, dtype=jnp.int32)
-    idx = (starts[:, :, None] + offs).reshape(g, d * t)
-    mask = (offs[None, None, :] < counts[:, :, None]).reshape(g, d * t)
-    (out,), overflow = _sort_compact(
-        mask, [jnp.where(mask, idx, -1)], body_cap
+    ends = starts + counts
+    first = starts >> 3
+    last = (ends - 1) >> 3  # arithmetic shift: count==0 -> last < first
+    offs = jnp.arange(t_sb, dtype=jnp.int32)
+    sb = (first[:, :, None] + offs).reshape(g, d * t_sb)
+    mask = (offs[None, None, :] <= (last - first)[:, :, None]).reshape(
+        g, d * t_sb
     )
-    return out, overflow
+    lo = jnp.broadcast_to(starts[:, :, None], (g, d, t_sb)).reshape(g, -1)
+    hi = jnp.broadcast_to(ends[:, :, None], (g, d, t_sb)).reshape(g, -1)
+    (sb_c, lo_c, hi_c), overflow = _sort_compact(
+        mask,
+        [jnp.where(mask, sb, -1), lo, jnp.where(mask, hi, 0)],
+        sb_cap,
+    )
+    return sb_c, lo_c, hi_c, overflow
 
 
 def _evaluate(
     positions_grouped: jax.Array,  # [G, S, 2] group member positions
     cells: jax.Array,  # [G, L, 3] approx list (x, y, mass)
-    direct_idx: jax.Array,  # [G, B] direct source body indices, -1 padded
+    direct_sb,  # (sb_idx [G, C], lo [G, C], hi [G, C]) superblock list
     sorted_x: jax.Array,  # [Ns] Morton-sorted source x
     sorted_y: jax.Array,  # [Ns]
     sorted_gm: jax.Array,  # [Ns] g * mass
@@ -283,21 +306,40 @@ def _evaluate(
     softening: float,
     group_chunk: int,
 ):
-    """Dense body x (approx cells + direct bodies), chunked over groups.
+    """Dense body x (approx cells + direct superblocks), chunked over
+    groups.
 
     Direct sources are raw sorted body values (bit-exact), so a member
     body meeting itself is excluded by the d2 > 0 guard, exactly like the
-    all-pairs kernel.
+    all-pairs kernel.  Superblock lanes outside the emitting range's
+    [lo, hi) are masked (the superblock may span range boundaries).
     """
     f32 = positions_grouped.dtype
     eps = jnp.asarray(softening, f32)
-    # pack (x, y, gm, 0) so the direct gather is one row lookup per body
-    src_packed = jnp.stack(
-        [sorted_x, sorted_y, sorted_gm, jnp.zeros_like(sorted_x)], axis=1
-    )
+    sb_idx_all, lo_all, hi_all = direct_sb
+
+    # pack 8 bodies per row: [Nsb, 24] = [x*8, y*8, gm*8]; gm padding is 0
+    ns = sorted_x.shape[0]
+    ns_pad = ((ns + _SB - 1) // _SB) * _SB
+    pad = ns_pad - ns
+
+    def pad1(a, value=0.0):
+        return jnp.concatenate(
+            [a, jnp.full((pad,), value, a.dtype)]
+        ) if pad else a
+
+    sb_packed = jnp.concatenate(
+        [
+            pad1(sorted_x).reshape(-1, _SB),
+            pad1(sorted_y).reshape(-1, _SB),
+            pad1(sorted_gm).reshape(-1, _SB),
+        ],
+        axis=1,
+    )  # [Nsb, 24]
+    lane = jnp.arange(_SB, dtype=jnp.int32)
 
     def chunk_fn(args):
-        p, c, di = args  # [C, S, 2], [C, L, 3], [C, B]
+        p, c, sbi, lo, hi = args  # [C,S,2], [C,L,3], [C,B], [C,B], [C,B]
         bx = p[:, :, 0:1]  # [C, S, 1]
         by = p[:, :, 1:2]
 
@@ -320,27 +362,40 @@ def _evaluate(
             jnp.asarray(g_const, f32) * c[:, None, :, 2],
         )
 
-        # direct bodies: one packed row gather [C, B, 4]
-        dmask = di >= 0
-        sidx = jnp.where(dmask, di, 0)
-        rows = src_packed[sidx]
-        dxs = rows[..., 0][:, None, :]  # [C, 1, B]
-        dys = rows[..., 1][:, None, :]
-        dws = jnp.where(dmask, rows[..., 2], 0.0)[:, None, :]
+        # direct superblocks: one 24-wide row gather per 8 bodies
+        dmask = sbi >= 0
+        rows = sb_packed[jnp.where(dmask, sbi, 0)]  # [C, B, 24]
+        body_id = (
+            jnp.where(dmask, sbi, 0)[:, :, None] * _SB + lane
+        )  # [C, B, 8]
+        lane_ok = (
+            dmask[:, :, None]
+            & (body_id >= lo[:, :, None])
+            & (body_id < hi[:, :, None])
+        )
+        cb = sbi.shape[0]
+        width = sbi.shape[1] * _SB
+        dxs = rows[:, :, 0:_SB].reshape(cb, 1, width)
+        dys = rows[:, :, _SB : 2 * _SB].reshape(cb, 1, width)
+        dws = jnp.where(lane_ok, rows[:, :, 2 * _SB :], 0.0).reshape(
+            cb, 1, width
+        )
         ax2, ay2 = accum(dxs, dys, dws)
         return ax + ax2, ay + ay2
 
     n_groups = positions_grouped.shape[0]
     chunk = min(group_chunk, n_groups)
-    pad = (-n_groups) % chunk
-    if pad:
+    gpad = (-n_groups) % chunk
+    if gpad:
         positions_grouped = jnp.pad(
-            positions_grouped, ((0, pad), (0, 0), (0, 0))
+            positions_grouped, ((0, gpad), (0, 0), (0, 0))
         )
-        cells = jnp.pad(cells, ((0, pad), (0, 0), (0, 0)))
-        direct_idx = jnp.pad(
-            direct_idx, ((0, pad), (0, 0)), constant_values=-1
+        cells = jnp.pad(cells, ((0, gpad), (0, 0), (0, 0)))
+        sb_idx_all = jnp.pad(
+            sb_idx_all, ((0, gpad), (0, 0)), constant_values=-1
         )
+        lo_all = jnp.pad(lo_all, ((0, gpad), (0, 0)))
+        hi_all = jnp.pad(hi_all, ((0, gpad), (0, 0)))
     ax, ay = jax.lax.map(
         chunk_fn,
         (
@@ -348,7 +403,9 @@ def _evaluate(
                 -1, chunk, *positions_grouped.shape[1:]
             ),
             cells.reshape(-1, chunk, *cells.shape[1:]),
-            direct_idx.reshape(-1, chunk, direct_idx.shape[1]),
+            sb_idx_all.reshape(-1, chunk, sb_idx_all.shape[1]),
+            lo_all.reshape(-1, chunk, lo_all.shape[1]),
+            hi_all.reshape(-1, chunk, hi_all.shape[1]),
         ),
     )
     ax = ax.reshape(-1, positions_grouped.shape[1])[:n_groups]
@@ -487,14 +544,15 @@ def grouped_eval(
         direct_cap=direct_cap,
         direct_cell_max=direct_cell_max,
     )
-    direct_idx, ovf_b = _expand_ranges(
-        ranges, direct_cell_max, direct_body_cap
+    sb_cap = direct_body_cap // _SB + 2 * direct_cap
+    sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
+        ranges, direct_cell_max, sb_cap
     )
     overflow_g = overflow_g | ovf_b
     ax, ay = _evaluate(
         pg,
         cells,
-        direct_idx,
+        (sb_idx, sb_lo, sb_hi),
         sorted_x,
         sorted_y,
         sorted_gm,
