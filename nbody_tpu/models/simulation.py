@@ -41,6 +41,14 @@ class Simulation:
         multi-chip CLI path passes a sharded step from
         :mod:`nbody_tpu.parallel` here and reuses the same contract loop."""
         self.config = config
+        if config.dtype == "float64" and not jax.config.jax_enable_x64:
+            # the reference is all-fp64 (project.cu:38-43); without the
+            # x64 flag JAX silently downcasts, which would corrupt parity
+            # runs, so fail loudly with the remedy
+            raise RuntimeError(
+                "dtype='float64' needs jax.config.update('jax_enable_x64',"
+                " True) (or JAX_ENABLE_X64=1) before creating arrays"
+            )
         self.state = state if state is not None else random_state(config)
         if step_fn is None:
             self._accel_fn = make_accel_fn(config)

@@ -544,7 +544,7 @@ def grouped_eval(
         direct_cap=direct_cap,
         direct_cell_max=direct_cell_max,
     )
-    sb_cap = direct_body_cap // _SB + 2 * direct_cap
+    sb_cap = direct_body_cap // _SB + direct_cap
     sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
         ranges, direct_cell_max, sb_cap
     )

@@ -81,3 +81,27 @@ def test_momentum_conservation(small_cloud):
     p1 = np.asarray(total_momentum(state))
     scale = float(np.sum(masses * np.abs(velocities).max()))
     np.testing.assert_allclose(p1, p0, atol=1e-6 * scale)
+
+
+def test_float64_requires_x64_flag():
+    """dtype='float64' must fail loudly rather than silently downcast
+    (the reference is all-fp64, project.cu:38-43)."""
+    import jax
+
+    from nbody_tpu.models.simulation import Simulation
+
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 enabled in this environment")
+    with pytest.raises(RuntimeError, match="float64"):
+        Simulation(SimConfig(n_bodies=8, dtype="float64"))
+
+
+def test_bfloat16_smoke():
+    """bf16 runs end-to-end (accuracy is reduced; it exists for memory-
+    bound exploration, not parity)."""
+    from nbody_tpu.models.simulation import Simulation
+
+    sim = Simulation(SimConfig(n_bodies=32, n_steps=2, engine="naive",
+                               dtype="bfloat16"))
+    state, _ = sim.run_contract()
+    assert np.isfinite(np.asarray(state.positions, dtype=np.float32)).all()
