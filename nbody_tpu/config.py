@@ -130,12 +130,12 @@ class SimConfig:
     # "exact" (per-body frontier traversal, bit-faithful to the reference's
     # per-thread DFS; used for parity testing and small N).
     bh_mode: str = "grouped"
-    group_size: int = 256
+    group_size: int = 512
     list_cap: int = 768
-    direct_cap: int = 768
+    direct_cap: int = 1024
     direct_cell_max: int = 32
-    direct_body_cap: int = 8192
-    group_chunk: int = 16
+    direct_body_cap: int = 12288
+    group_chunk: int = 8
 
     # Parallelism.
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
