@@ -246,9 +246,81 @@ def _collect_lists(
     ds = jnp.where(dc > 0, leaf_cum[jnp.where(dc > 0, dleaf, 0)], 0)
     overflow = overflow | ovf_a | ovf_d
 
-    cells = jnp.stack([lx, ly, lm], axis=-1)  # [G, L, 3]
     ranges = jnp.stack([ds, dc], axis=-1)  # [G, D, 2]
-    return cells, ranges, overflow
+    return (lx, ly, lm), ranges, overflow
+
+
+def _evaluate_pallas(
+    positions_grouped: jax.Array,  # [G, S, 2]
+    lists,  # (lx, ly, lm) approx lists [G, L] each (lm zero-padded MASS)
+    direct_sb,  # (sb_idx, lo, hi) [G, C] each
+    sorted_x: jax.Array,
+    sorted_y: jax.Array,
+    sorted_gm: jax.Array,
+    *,
+    g_const: float,
+    softening: float,
+):
+    """Build the combined packed source list [G, 8, K] (approx cells +
+    masked superblock bodies) in XLA — cheap, it is only the gathered data
+    itself — then evaluate bodies x list in the Pallas streaming kernel
+    (ops.list_eval), which keeps all pairwise intermediates in VMEM."""
+    from .list_eval import list_eval_pallas
+
+    f32 = positions_grouped.dtype
+    lx, ly, lm = lists
+    sb_idx, lo, hi = direct_sb
+    g_groups = lx.shape[0]
+
+    # superblock gather (one 24-wide row per 8 bodies) + lane masking
+    ns = sorted_x.shape[0]
+    ns_pad = ((ns + _SB - 1) // _SB) * _SB
+    pad = ns_pad - ns
+
+    def pad1(a):
+        return jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) if pad else a
+
+    sb_packed = jnp.concatenate(
+        [
+            pad1(sorted_x).reshape(-1, _SB),
+            pad1(sorted_y).reshape(-1, _SB),
+            pad1(sorted_gm).reshape(-1, _SB),
+        ],
+        axis=1,
+    )  # [Nsb, 24]
+    dmask = sb_idx >= 0
+    rows = sb_packed[jnp.where(dmask, sb_idx, 0)]  # [G, C, 24]
+    lane = jnp.arange(_SB, dtype=jnp.int32)
+    body_id = jnp.where(dmask, sb_idx, 0)[:, :, None] * _SB + lane
+    lane_ok = (
+        dmask[:, :, None]
+        & (body_id >= lo[:, :, None])
+        & (body_id < hi[:, :, None])
+    )
+    width = sb_idx.shape[1] * _SB
+    dxs = rows[:, :, 0:_SB].reshape(g_groups, width)
+    dys = rows[:, :, _SB : 2 * _SB].reshape(g_groups, width)
+    dws = jnp.where(lane_ok, rows[:, :, 2 * _SB :], 0.0).reshape(
+        g_groups, width
+    )
+
+    src_x = jnp.concatenate([lx, dxs], axis=1)  # [G, K]
+    src_y = jnp.concatenate([ly, dys], axis=1)
+    src_w = jnp.concatenate(
+        [jnp.asarray(g_const, f32) * lm, dws], axis=1
+    )
+    k = src_x.shape[1]
+    src = jnp.zeros((g_groups, 8, k), f32)
+    src = src.at[:, 0, :].set(src_x)
+    src = src.at[:, 1, :].set(src_y)
+    src = src.at[:, 2, :].set(src_w)
+
+    acc = list_eval_pallas(
+        positions_grouped.astype(jnp.float32),
+        src,
+        softening=float(softening),
+    )
+    return acc[:, :, 0], acc[:, :, 1]
 
 
 _SB = 8  # bodies per superblock (one packed gather row)
@@ -428,6 +500,7 @@ def _evaluate(
         "direct_body_cap",
         "group_chunk",
         "return_diagnostics",
+        "use_pallas",
     ),
 )
 def bh_accelerations_grouped(
@@ -438,14 +511,15 @@ def bh_accelerations_grouped(
     theta: float = THETA_DEFAULT,
     max_depth: int = MAX_DEPTH_DEFAULT,
     softening: float = BH_SOFTENING,
-    group_size: int = 256,
+    group_size: int = 512,
     frontier_cap: int = 1024,
     list_cap: int = 768,
-    direct_cap: int = 768,
+    direct_cap: int = 1024,
     direct_cell_max: int = 32,
-    direct_body_cap: int = 8192,
-    group_chunk: int = 16,
+    direct_body_cap: int = 12288,
+    group_chunk: int = 8,
     return_diagnostics: bool = False,
+    use_pallas: bool | None = None,
 ):
     """Grouped Barnes-Hut accelerations [N, 2] (+ overflow [N] optional)."""
     f32 = positions.dtype
@@ -471,6 +545,7 @@ def bh_accelerations_grouped(
         group_chunk=group_chunk,
         return_diagnostics=return_diagnostics,
         target_codes=tree.codes,
+        use_pallas=use_pallas,
     )
 
 
@@ -484,15 +559,16 @@ def grouped_eval(
     g: float,
     theta: float = THETA_DEFAULT,
     softening: float = BH_SOFTENING,
-    group_size: int = 256,
+    group_size: int = 512,
     frontier_cap: int = 1024,
     list_cap: int = 768,
-    direct_cap: int = 768,
+    direct_cap: int = 1024,
     direct_cell_max: int = 32,
-    direct_body_cap: int = 8192,
-    group_chunk: int = 16,
+    direct_body_cap: int = 12288,
+    group_chunk: int = 8,
     return_diagnostics: bool = False,
     target_codes: jax.Array | None = None,
+    use_pallas: bool | None = None,
 ):
     """Grouped evaluation of arbitrary targets against a prebuilt tree.
 
@@ -534,7 +610,7 @@ def grouped_eval(
         jnp.min(sub[..., 1], axis=2),
         jnp.max(sub[..., 1], axis=2),
     )
-    cells, ranges, overflow_g = _collect_lists(
+    (lx, ly, lm), ranges, overflow_g = _collect_lists(
         bbox,
         tree,
         theta=theta,
@@ -549,17 +625,33 @@ def grouped_eval(
         ranges, direct_cell_max, sb_cap
     )
     overflow_g = overflow_g | ovf_b
-    ax, ay = _evaluate(
-        pg,
-        cells,
-        (sb_idx, sb_lo, sb_hi),
-        sorted_x,
-        sorted_y,
-        sorted_gm,
-        g_const=g,
-        softening=softening,
-        group_chunk=group_chunk,
-    )
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        ax, ay = _evaluate_pallas(
+            pg,
+            (lx, ly, lm),
+            (sb_idx, sb_lo, sb_hi),
+            sorted_x,
+            sorted_y,
+            sorted_gm,
+            g_const=g,
+            softening=softening,
+        )
+    else:
+        cells = jnp.stack([lx, ly, lm], axis=-1)  # [G, L, 3]
+        ax, ay = _evaluate(
+            pg,
+            cells,
+            (sb_idx, sb_lo, sb_hi),
+            sorted_x,
+            sorted_y,
+            sorted_gm,
+            g_const=g,
+            softening=softening,
+            group_chunk=group_chunk,
+        )
 
     acc_sorted = jnp.stack([ax.reshape(-1), ay.reshape(-1)], axis=-1)[:n]
     inv = jnp.zeros((n,), jnp.int32).at[order].set(

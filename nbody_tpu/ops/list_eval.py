@@ -1,0 +1,116 @@
+"""Pallas kernel: per-group interaction-list evaluation for Barnes-Hut.
+
+The grouped traversal (bh_grouped.py) reduces Barnes-Hut to, per body
+group, a dense evaluation of  group bodies x interaction list  — the same
+tile shape as the all-pairs kernel (allpairs.py) with a third leading grid
+dimension over groups.  Evaluating it in XLA materialises [chunk, S, K]
+HBM temporaries; this kernel streams list tiles through VMEM instead:
+
+  grid (G, K/K_TILE): each step loads the group's body block (S, 8) and a
+  list tile (8, K_TILE), computes w = gm / (d2 * (d + eps)) on the VPU and
+  accumulates sum(w * disp) per body into VMEM scratch; the final k step
+  writes the block's accelerations.
+
+Semantics are the Barnes-Hut accepted-node force (project.cu:651-658,
+765-771): softened direction, unsoftened magnitude denominator, with the
+d2 > 0 guard providing index-free self-exclusion (bit-exact singleton
+COMs / raw body positions, see bh_grouped.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(tgt_ref, src_ref, out_ref, acc_ref, *, softening, n_k_tiles):
+    k = pl.program_id(1)
+
+    tx = tgt_ref[0, :, 0:1]  # (S, 1)
+    ty = tgt_ref[0, :, 1:2]
+    sx = src_ref[0, 0:1, :]  # (1, K_TILE)
+    sy = src_ref[0, 1:2, :]
+    gm = src_ref[0, 2:3, :]
+
+    dx = sx - tx  # (S, K_TILE)
+    dy = sy - ty
+    d2 = dx * dx + dy * dy
+    valid = (d2 > 0.0) & (gm > 0.0)
+    d = jnp.sqrt(d2) + jnp.float32(softening)
+    w = jnp.where(valid, gm / (jnp.where(valid, d2, 1.0) * d), 0.0)
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)  # (S, 1)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        acc_ref[:, 0:1] = ax
+        acc_ref[:, 1:2] = ay
+
+    @pl.when(k != 0)
+    def _acc():
+        acc_ref[:, 0:1] = acc_ref[:, 0:1] + ax
+        acc_ref[:, 1:2] = acc_ref[:, 1:2] + ay
+
+    @pl.when(k == n_k_tiles - 1)
+    def _write():
+        out_ref[0, :, :] = acc_ref[:, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("softening", "k_tile", "interpret")
+)
+def list_eval_pallas(
+    targets: jax.Array,  # [G, S, 2] group body positions
+    sources: jax.Array,  # [G, 8, K] packed rows [x, y, gm, 0...]; gm==0 pad
+    *,
+    softening: float,
+    k_tile: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Accelerations [G, S, 2] of each group's bodies due to its list."""
+    g, s, _ = targets.shape
+    k = sources.shape[2]
+    if k % k_tile:
+        pad = k_tile - k % k_tile
+        sources = jnp.pad(sources, ((0, 0), (0, 0), (0, pad)))
+        k += pad
+    n_k_tiles = k // k_tile
+
+    tgt = jnp.zeros((g, s, 8), jnp.float32).at[:, :, 0:2].set(targets)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, softening=float(softening), n_k_tiles=n_k_tiles
+        ),
+        grid=(g, n_k_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s, 8), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 8, k_tile),
+                lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s, 8), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, s, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((s, 8), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * g * s * k,
+            bytes_accessed=(g * s * 8 + g * 8 * k + g * s * 8) * 4,
+            transcendentals=g * s * k,
+        ),
+        interpret=interpret,
+    )(tgt, sources)
+    return out[:, :, 0:2]
