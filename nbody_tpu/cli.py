@@ -57,6 +57,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--metrics-csv", default=None, metavar="FILE",
                    help="per-step energy/momentum/tree-stats CSV")
+    p.add_argument("--fused", action="store_true",
+                   help="run the whole step loop as one compiled program "
+                        "(lax.scan; no per-step host sync or file capture "
+                        "- the TPU-native fast path)")
     p.add_argument("--resume", metavar="NPZ", default=None,
                    help="resume from a checkpoint file")
     # parallelism
@@ -153,7 +157,25 @@ def cmd_run(args) -> int:
 
     os.makedirs(args.output_dir, exist_ok=True)
     sim = Simulation(config, state=state, step_fn=step_fn)
-    _, timing = sim.run_contract()
+    if args.fused:
+        import time as _time
+
+        import jax
+
+        from .utils.timing import RunTiming
+
+        # compile outside the clock, then one fully-fused device program
+        sim._scan_steps.lower(sim.state, config.n_steps).compile()
+        t0 = _time.perf_counter()
+        final = sim.run_scan()
+        jax.block_until_ready(final.positions)
+        # the tunnel's block_until_ready may not wait; force a fetch
+        float(final.positions[0, 0])
+        elapsed = _time.perf_counter() - t0
+        timing = RunTiming(total_ms=elapsed * 1e3,
+                           parallel_us=elapsed * 1e6)
+    else:
+        _, timing = sim.run_contract()
     print()
     # the machine-readable contract lines (project.cu:1097/1102)
     print(timing.total_line())

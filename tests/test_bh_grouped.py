@@ -101,3 +101,32 @@ def test_overflow_reported_not_silent():
         return_diagnostics=True,
     )
     assert int(np.asarray(ovf).sum()) > 0
+
+
+def test_clustered_distribution():
+    """Dense Gaussian cluster + uniform background: the stress case for
+    cap sizing and max-depth aggregation (many co-located bodies)."""
+    rng = np.random.default_rng(3)
+    n = 1024
+    cluster = rng.normal(0.0, 1e-4, (n // 2, 2))  # ultra-dense knot
+    background = rng.uniform(-0.1, 0.1, (n // 2, 2))
+    positions = np.vstack([cluster, background]).astype(np.float32)
+    masses = (10 ** rng.uniform(-1, 0, n)).astype(np.float32)
+    want = oracle.bh_accelerations(positions, masses, g=G, theta=0.5)
+    got, ovf = bh_accelerations_grouped(
+        jnp.asarray(positions), jnp.asarray(masses), g=G, theta=0.5,
+        group_size=128, group_chunk=8, return_diagnostics=True,
+    )
+    assert int(np.asarray(ovf).sum()) == 0
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3 * scale)
+
+
+def test_deterministic_across_calls():
+    """Same inputs -> bit-identical accelerations (pure functional)."""
+    masses, positions = _cloud(500, seed=6)
+    a = np.asarray(bh_accelerations_grouped(
+        jnp.asarray(positions), jnp.asarray(masses), g=G, group_chunk=8))
+    b = np.asarray(bh_accelerations_grouped(
+        jnp.asarray(positions), jnp.asarray(masses), g=G, group_chunk=8))
+    np.testing.assert_array_equal(a, b)
