@@ -59,8 +59,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="per-step energy/momentum/tree-stats CSV")
     p.add_argument("--fused", action="store_true",
                    help="run the whole step loop as one compiled program "
-                        "(lax.scan; no per-step host sync or file capture "
-                        "- the TPU-native fast path)")
+                        "(lax.scan; no per-step host sync or file capture). "
+                        "NOTE: through a remote-TPU tunnel the single "
+                        "dispatch includes one-time runtime warmup; use "
+                        "bench.py / scripts/bh_bench.py slope timing for "
+                        "device-time numbers")
     p.add_argument("--resume", metavar="NPZ", default=None,
                    help="resume from a checkpoint file")
     # parallelism
@@ -165,13 +168,14 @@ def cmd_run(args) -> int:
         from .utils.timing import RunTiming
 
         # compile outside the clock, then one fully-fused device program
-        sim._scan_steps.lower(sim.state, config.n_steps).compile()
+        compiled = sim._scan_steps.lower(sim.state, config.n_steps).compile()
         t0 = _time.perf_counter()
-        final = sim.run_scan()
+        final = compiled(sim.state)
         jax.block_until_ready(final.positions)
         # the tunnel's block_until_ready may not wait; force a fetch
         float(final.positions[0, 0])
         elapsed = _time.perf_counter() - t0
+        sim.state = final
         timing = RunTiming(total_ms=elapsed * 1e3,
                            parallel_us=elapsed * 1e6)
     else:
