@@ -41,8 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 # zero against any real body, small enough that d^2 stays finite in f32.
 _PAD_SENTINEL = 1e15
 
-# Columns of the packed source matrix (8 sublanes, rows 4..7 zero padding).
-_SRC_X, _SRC_Y, _SRC_GM, _SRC_ONE = 0, 1, 2, 3
+# Rows of the packed source matrix (8 sublanes; rows 3..7 zero padding).
+_SRC_X, _SRC_Y, _SRC_GM = 0, 1, 2
 
 
 def _round_up(x: int, m: int) -> int:
@@ -153,13 +153,12 @@ def allpairs_accelerations_vs(
     tgt = tgt.at[:nt, 0:2].set(target_positions)
     tgt = tgt.at[nt:, 0:2].set(_PAD_SENTINEL)
 
-    # Packed source matrix (8, Ns_pad): [x, y, g*m, 1, 0...]; padded bodies
+    # Packed source matrix (8, Ns_pad): [x, y, g*m, 0...]; padded bodies
     # get the far sentinel position and zero mass: they contribute nothing.
     src = jnp.zeros((8, ns_pad), dtype=jnp.float32)
     src = src.at[0:2, :ns].set(source_positions.T)
     src = src.at[0:2, ns:].set(_PAD_SENTINEL)
     src = src.at[2, :ns].set(jnp.asarray(g, jnp.float32) * source_masses)
-    src = src.at[3, :ns].set(1.0)
 
     n_tgt_tiles = nt_pad // target_block
     n_src_tiles = ns_pad // source_block

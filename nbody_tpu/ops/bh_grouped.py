@@ -139,8 +139,7 @@ def _collect_lists(
         packed[-1] = jnp.concatenate([packed[-1], ccnt], axis=1)
 
     # per-cell body ranges in the Morton-sorted order: cumulative counts
-    # over the finest level give [start, end) for any cell at any level.
-    # starts are carried as f32 in the packed flow (exact below 2^24).
+    # over the finest level give [start, end) for any cell at any level
     leaf_cnt = tree.levels[max_depth].count
     leaf_cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(leaf_cnt).astype(jnp.int32)]
