@@ -1,0 +1,66 @@
+"""Pallas list-evaluation kernel vs a dense XLA reference (interpret mode
+on CPU; the TPU path is exercised by bh_grouped's use_pallas default)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.ops.list_eval import list_eval_pallas
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _dense_reference(tgt, src, eps):
+    sx = src[:, 0, :][:, None, :]
+    sy = src[:, 1, :][:, None, :]
+    gm = src[:, 2, :][:, None, :]
+    dx = sx - tgt[:, :, 0:1]
+    dy = sy - tgt[:, :, 1:2]
+    d2 = dx * dx + dy * dy
+    valid = (d2 > 0) & (gm > 0)
+    d = jnp.sqrt(d2) + eps
+    w = jnp.where(valid, gm / (jnp.where(valid, d2, 1.0) * d), 0.0)
+    return jnp.stack([jnp.sum(w * dx, -1), jnp.sum(w * dy, -1)], -1)
+
+
+def test_matches_dense_with_sparse_tiles():
+    """Occupied, empty, and partially-occupied tiles (exercises the
+    per-tile skip flags) must agree with the dense evaluation."""
+    rng = np.random.default_rng(0)
+    g, s, k = 3, 64, 1024
+    tgt = jnp.asarray(rng.uniform(-1, 1, (g, s, 2)), jnp.float32)
+    src = jnp.zeros((g, 8, k), jnp.float32)
+    # group 0: only tile 0; group 1: tiles 0 and 3; group 2: all empty
+    spans = {0: [(0, 100)], 1: [(0, 50), (3 * 256, 3 * 256 + 80)]}
+    for gi, ranges in spans.items():
+        for lo, hi in ranges:
+            n = hi - lo
+            src = src.at[gi, 0, lo:hi].set(
+                jnp.asarray(rng.uniform(-1, 1, n), jnp.float32)
+            )
+            src = src.at[gi, 1, lo:hi].set(
+                jnp.asarray(rng.uniform(-1, 1, n), jnp.float32)
+            )
+            src = src.at[gi, 2, lo:hi].set(1e-3)
+    got = np.asarray(
+        list_eval_pallas(
+            tgt, src, softening=1e-15, k_tile=256, interpret=INTERPRET
+        )
+    )
+    want = np.asarray(_dense_reference(tgt, src, 1e-15))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-8)
+    assert np.all(got[2] == 0.0)  # fully-empty group
+
+
+def test_self_exclusion_d2_guard():
+    """A source bit-equal to a target contributes nothing."""
+    tgt = jnp.asarray([[[0.25, -0.5]] * 8], jnp.float32)
+    src = jnp.zeros((1, 8, 256), jnp.float32)
+    src = src.at[0, 0, 0].set(0.25).at[0, 1, 0].set(-0.5)
+    src = src.at[0, 2, 0].set(1.0)  # the target itself as a source
+    out = np.asarray(
+        list_eval_pallas(tgt, src, softening=1e-15, k_tile=256,
+                         interpret=INTERPRET)
+    )
+    assert np.all(out == 0.0)
