@@ -314,10 +314,22 @@ def _evaluate_pallas(
     src = src.at[:, 1, :].set(src_y)
     src = src.at[:, 2, :].set(src_w)
 
+    # occupied lengths of the two left-compacted sections (emitted approx
+    # cells always have mass > 0; valid superblocks have sb_idx >= 0)
+    lens = jnp.stack(
+        [
+            jnp.sum(lm > 0, axis=1).astype(jnp.int32),
+            _SB * jnp.sum(dmask, axis=1).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
     acc = list_eval_pallas(
         positions_grouped.astype(jnp.float32),
         src,
+        lens,
         softening=float(softening),
+        section_offset=lx.shape[1],
     )
     return acc[:, :, 0], acc[:, :, 1]
 

@@ -33,7 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    flags_ref, tgt_ref, src_ref, out_ref, acc_ref, *, softening, n_k_tiles
+    lens_ref,
+    tgt_ref,
+    src_ref,
+    out_ref,
+    acc_ref,
+    *,
+    softening,
+    n_k_tiles,
+    k_tile,
+    section_offset,
 ):
     i = pl.program_id(0)
     k = pl.program_id(1)
@@ -42,7 +51,18 @@ def _kernel(
     def _init():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    @pl.when(flags_ref[i, k] != 0)
+    # The list has two left-compacted sections: approx cells in
+    # [0, a_n) and direct bodies in [section_offset, section_offset + d_n).
+    # A tile only needs compute if it overlaps either occupied span.
+    a_n = lens_ref[i, 0]
+    d_n = lens_ref[i, 1]
+    start = k * k_tile
+    end = start + k_tile
+    occupied = (start < a_n) | (
+        (end > section_offset) & (start < section_offset + d_n)
+    )
+
+    @pl.when(occupied)
     def _compute():
         tx = tgt_ref[0, :, 0:1]  # (S, 1)
         ty = tgt_ref[0, :, 1:2]
@@ -69,13 +89,16 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("softening", "k_tile", "interpret")
+    jax.jit,
+    static_argnames=("softening", "section_offset", "k_tile", "interpret"),
 )
 def list_eval_pallas(
     targets: jax.Array,  # [G, S, 2] group body positions
     sources: jax.Array,  # [G, 8, K] packed rows [x, y, gm, 0...]; gm==0 pad
+    lens: jax.Array,  # [G, 2] int32 occupied lengths of the two sections
     *,
     softening: float,
+    section_offset: int,  # start of the second (direct) section in K
     k_tile: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
@@ -89,13 +112,6 @@ def list_eval_pallas(
     n_k_tiles = k // k_tile
 
     tgt = jnp.zeros((g, s, 8), jnp.float32).at[:, :, 0:2].set(targets)
-    # per-(group, tile) occupancy: tiles whose gm row is all zero are
-    # skipped in-kernel (lists are left-compacted within their sections)
-    flags = (
-        (sources[:, 2, :].reshape(g, n_k_tiles, k_tile) > 0.0)
-        .any(axis=2)
-        .astype(jnp.int32)
-    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -119,7 +135,11 @@ def list_eval_pallas(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, softening=float(softening), n_k_tiles=n_k_tiles
+            _kernel,
+            softening=float(softening),
+            n_k_tiles=n_k_tiles,
+            k_tile=k_tile,
+            section_offset=int(section_offset),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g, s, 8), jnp.float32),
@@ -132,5 +152,5 @@ def list_eval_pallas(
             transcendentals=g * s * k,
         ),
         interpret=interpret,
-    )(flags, tgt, sources)
+    )(lens.astype(jnp.int32), tgt, sources)
     return out[:, :, 0:2]

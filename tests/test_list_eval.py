@@ -43,9 +43,18 @@ def test_matches_dense_with_sparse_tiles():
                 jnp.asarray(rng.uniform(-1, 1, n), jnp.float32)
             )
             src = src.at[gi, 2, lo:hi].set(1e-3)
+    # treat the whole list as one "approx" section: lens = occupied prefix
+    lens = jnp.stack(
+        [
+            jnp.asarray([100, 3 * 256 + 80, 0], jnp.int32),
+            jnp.zeros(3, jnp.int32),
+        ],
+        axis=1,
+    )
     got = np.asarray(
         list_eval_pallas(
-            tgt, src, softening=1e-15, k_tile=256, interpret=INTERPRET
+            tgt, src, lens, softening=1e-15, section_offset=k,
+            k_tile=256, interpret=INTERPRET,
         )
     )
     want = np.asarray(_dense_reference(tgt, src, 1e-15))
@@ -59,8 +68,10 @@ def test_self_exclusion_d2_guard():
     src = jnp.zeros((1, 8, 256), jnp.float32)
     src = src.at[0, 0, 0].set(0.25).at[0, 1, 0].set(-0.5)
     src = src.at[0, 2, 0].set(1.0)  # the target itself as a source
+    lens = jnp.asarray([[1, 0]], jnp.int32)
     out = np.asarray(
-        list_eval_pallas(tgt, src, softening=1e-15, k_tile=256,
+        list_eval_pallas(tgt, src, lens, softening=1e-15,
+                         section_offset=256, k_tile=256,
                          interpret=INTERPRET)
     )
     assert np.all(out == 0.0)
