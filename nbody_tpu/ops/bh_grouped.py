@@ -321,8 +321,8 @@ def _evaluate_pallas(
             jnp.sum(lm > 0, axis=1).astype(jnp.int32),
             _SB * jnp.sum(dmask, axis=1).astype(jnp.int32),
         ],
-        axis=1,
-    )
+        axis=0,
+    )  # [2, G]: SMEM-friendly layout (see list_eval_pallas)
 
     acc = list_eval_pallas(
         positions_grouped.astype(jnp.float32),

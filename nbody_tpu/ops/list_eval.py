@@ -54,8 +54,8 @@ def _kernel(
     # The list has two left-compacted sections: approx cells in
     # [0, a_n) and direct bodies in [section_offset, section_offset + d_n).
     # A tile only needs compute if it overlaps either occupied span.
-    a_n = lens_ref[i, 0]
-    d_n = lens_ref[i, 1]
+    a_n = lens_ref[0, i]
+    d_n = lens_ref[1, i]
     start = k * k_tile
     end = start + k_tile
     occupied = (start < a_n) | (
@@ -95,7 +95,9 @@ def _kernel(
 def list_eval_pallas(
     targets: jax.Array,  # [G, S, 2] group body positions
     sources: jax.Array,  # [G, 8, K] packed rows [x, y, gm, 0...]; gm==0 pad
-    lens: jax.Array,  # [G, 2] int32 occupied lengths of the two sections
+    lens: jax.Array,  # [2, G] int32 occupied lengths of the two sections
+    #                    (row-major [2, G]: SMEM pads the minor dimension,
+    #                    so [G, 2] would cost 512B/row = 1MB at G=2048)
     *,
     softening: float,
     section_offset: int,  # start of the second (direct) section in K

@@ -49,7 +49,7 @@ def test_matches_dense_with_sparse_tiles():
             jnp.asarray([100, 3 * 256 + 80, 0], jnp.int32),
             jnp.zeros(3, jnp.int32),
         ],
-        axis=1,
+        axis=0,
     )
     got = np.asarray(
         list_eval_pallas(
@@ -68,7 +68,7 @@ def test_self_exclusion_d2_guard():
     src = jnp.zeros((1, 8, 256), jnp.float32)
     src = src.at[0, 0, 0].set(0.25).at[0, 1, 0].set(-0.5)
     src = src.at[0, 2, 0].set(1.0)  # the target itself as a source
-    lens = jnp.asarray([[1, 0]], jnp.int32)
+    lens = jnp.asarray([[1], [0]], jnp.int32)
     out = np.asarray(
         list_eval_pallas(tgt, src, lens, softening=1e-15,
                          section_offset=256, k_tile=256,
