@@ -51,3 +51,58 @@ def test_resume_continues_identically(tmp_path):
         np.asarray(resumed.positions), np.asarray(full.positions)
     )
     assert int(resumed.step) == int(full.step) == 6
+
+
+def test_cli_resume(tmp_path, capsys):
+    """--checkpoint-every + --resume through the CLI (SURVEY 5.4)."""
+    from nbody_tpu.cli import main
+
+    out = str(tmp_path)
+    ck = str(tmp_path / "checkpoint.npz")
+    assert main([
+        "run", "--engine", "naive", "--n-bodies", "32", "--steps", "4",
+        "--seed", "9", "--checkpoint-every", "4", "--output-dir", out,
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "run", "--engine", "naive", "--n-bodies", "32", "--steps", "2",
+        "--resume", ck, "--output-dir", out,
+    ]) == 0
+    # compare against a straight 6-step run
+    from nbody_tpu import SimConfig
+    from nbody_tpu.models.simulation import Simulation
+
+    sim = Simulation(SimConfig(n_bodies=32, n_steps=6, engine="naive",
+                               seed=9))
+    want, _ = sim.run_contract()
+    from nbody_tpu.utils.checkpoint import load_checkpoint
+
+    # the resumed run rewrote the checkpoint? no — ck only written when
+    # checkpoint_every set; verify via a fresh resumed Simulation instead
+    mid = load_checkpoint(ck)
+    sim2 = Simulation(SimConfig(n_bodies=32, n_steps=2, engine="naive"),
+                      state=mid)
+    resumed, _ = sim2.run_contract()
+    np.testing.assert_array_equal(
+        np.asarray(resumed.positions), np.asarray(want.positions)
+    )
+
+
+def test_run_scan_trajectory():
+    """Compiled trajectory capture equals the per-step contract loop."""
+    from nbody_tpu import SimConfig
+    from nbody_tpu.models.simulation import Simulation
+
+    cfg = SimConfig(n_bodies=48, n_steps=5, engine="naive", seed=2)
+    sim_a = Simulation(cfg)
+    final_a, traj = sim_a.run_scan_trajectory()
+    assert traj.shape == (6, 48, 2)
+    sim_b = Simulation(cfg)
+    final_b, _ = sim_b.run_contract()
+    np.testing.assert_allclose(
+        np.asarray(final_a.positions), np.asarray(final_b.positions),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj[-1]), np.asarray(final_a.positions)
+    )
