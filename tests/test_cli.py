@@ -150,3 +150,20 @@ def test_sweep_bodies_format(tmp_path, capsys, monkeypatch):
     # plot_second_scale.py:19 five-field config regex
     configs = [m for l in lines if (m := CONFIG5_RE.search(l))]
     assert {int(m.group(1)) for m in configs} == {32, 64}
+
+
+def test_plot_subcommand(tmp_path, capsys, monkeypatch):
+    """Vectorised plot subcommand renders trajectory + quadtree PNGs."""
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "run", "--engine", "barnes_hut", "--n-bodies", "64", "--steps", "2",
+        "--save-positions", "--save-tree-dumps", "--output-dir", ".",
+        "--frontier-cap", "128", "--group-chunk" if False else "--seed", "1",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert main(["plot", "--positions", "positions.txt"]) == 0
+    assert main(["plot", "--quadtree", "quadtree_init.txt"]) == 0
+    assert os.path.exists("plot_2d.png")
+    assert os.path.exists("quadtree_init_png.png")
+    assert main(["plot"]) == 2  # nothing to plot
