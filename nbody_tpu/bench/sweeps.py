@@ -20,7 +20,6 @@ verbatim (first_scaling_script.sh:14-15,36; second_scaling_script.sh:13,39).
 from __future__ import annotations
 
 import io
-import os
 import sys
 from contextlib import redirect_stdout
 from typing import List

@@ -17,10 +17,8 @@ Subcommands:
 from __future__ import annotations
 
 import argparse
-import io
 import os
 import sys
-from contextlib import redirect_stdout
 
 import numpy as np
 

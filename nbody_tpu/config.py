@@ -12,7 +12,7 @@ recompile anything.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 # ---------------------------------------------------------------------------
 # Physics constants (reference project.cu:27-35, main_approach_1.cpp:11-21)

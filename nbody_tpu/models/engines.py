@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..physics import pair_accelerations_dense

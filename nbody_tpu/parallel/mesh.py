@@ -11,7 +11,7 @@ SURVEY.md section 2.5).  Collectives ride ICI via jax.lax primitives.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

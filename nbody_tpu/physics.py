@@ -24,7 +24,6 @@ fp rounding — the f64 oracle keeps the reference factoring for parity).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

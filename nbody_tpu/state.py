@@ -8,7 +8,6 @@ contracts (SURVEY.md section 2.11) map 1:1.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

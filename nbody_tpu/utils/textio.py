@@ -16,7 +16,7 @@ Formats replicated byte-for-byte:
 from __future__ import annotations
 
 import os
-from typing import IO, List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
