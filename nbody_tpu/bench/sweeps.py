@@ -94,7 +94,7 @@ def run_sweep(args) -> int:
         step_fn = None
         if n_devices > 1:
             mode = (
-                "dp_barnes_hut" if args.engine == "barnes_hut"
+                "dp_barnes_hut_grouped" if args.engine == "barnes_hut"
                 else "dp_allpairs"
             )
             mesh = parallel.make_mesh(n_devices)
