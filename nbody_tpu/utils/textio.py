@@ -131,15 +131,28 @@ class PositionsWriter:
         self._chunks: List[str] = []
 
     def append(self, time: float, positions) -> None:
-        positions = np.asarray(positions)
-        t_str = cxx_to_string(time)
-        lines = [
-            f"{t_str} {i} "
-            + " ".join(cxx_to_string(c) for c in positions[i])
-            + " \n"
-            for i in range(positions.shape[0])
-        ]
-        self._chunks.append("".join(lines))
+        import io as _io
+
+        positions = np.asarray(positions, dtype=np.float64)
+        n = positions.shape[0]
+        rows = np.column_stack(
+            [
+                np.full(n, float(time)),
+                np.arange(n, dtype=np.float64),
+                positions,
+            ]
+        )
+        buf = _io.StringIO()
+        # trailing space before the newline matches savePositions
+        # (project.cu:855-863: every field is followed by one space)
+        np.savetxt(
+            buf,
+            rows,
+            fmt=["%.6f", "%d", "%.6f", "%.6f"],
+            delimiter=" ",
+            newline=" \n",
+        )
+        self._chunks.append(buf.getvalue())
 
     def flush(self) -> None:
         with open(self.path, "w") as f:
