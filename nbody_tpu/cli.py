@@ -55,6 +55,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--metrics-csv", default=None, metavar="FILE",
                    help="per-step energy/momentum/tree-stats CSV")
+    p.add_argument("--check-overflow", action="store_true",
+                   help="barnes_hut: run one diagnostic force pass before "
+                        "the simulation and warn if any traversal/list cap "
+                        "overflowed (the stack-guard printf analogue, "
+                        "project.cu:712-721)")
     p.add_argument("--fused", action="store_true",
                    help="run the whole step loop as one compiled program "
                         "(lax.scan; no per-step host sync or file capture). "
@@ -158,6 +163,36 @@ def cmd_run(args) -> int:
 
     os.makedirs(args.output_dir, exist_ok=True)
     sim = Simulation(config, state=state, step_fn=step_fn)
+
+    if args.check_overflow and args.engine == "barnes_hut" and args.devices == 1:
+        import numpy as _np
+
+        from .ops.bh_grouped import bh_accelerations_grouped
+
+        _, ovf = bh_accelerations_grouped(
+            sim.state.positions,
+            sim.state.masses,
+            g=config.g,
+            theta=config.theta,
+            max_depth=config.max_depth,
+            softening=config.softening,
+            group_size=config.group_size,
+            frontier_cap=max(config.frontier_cap, 1024),
+            list_cap=config.list_cap,
+            direct_cap=config.direct_cap,
+            direct_cell_max=config.direct_cell_max,
+            direct_body_cap=config.direct_body_cap,
+            group_chunk=config.group_chunk,
+            return_diagnostics=True,
+        )
+        n_ovf = int(_np.asarray(ovf).sum())
+        if n_ovf:
+            print(
+                f"WARNING: traversal caps overflowed for {n_ovf} bodies "
+                "at step 0; raise --frontier-cap / list/direct caps "
+                "(forces for flagged bodies drop interactions)",
+                file=sys.stderr,
+            )
     if args.fused:
         import time as _time
 
