@@ -60,6 +60,9 @@ def run_sweep(args) -> int:
         engine=args.engine,
         theta=args.theta,
         max_depth=args.max_depth,
+        softening=args.softening,
+        bh_mode=args.bh_mode,
+        group_size=args.group_size,
         dtype=args.precision,
         target_block=args.target_block,
         source_block=args.source_block,

@@ -36,6 +36,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--theta", type=float, default=0.5)
     p.add_argument("--max-depth", type=int, default=9)
+    p.add_argument("--softening", type=float, default=1e-15,
+                   help="distance softening (project.cu:634; naive uses 0)")
+    p.add_argument("--bh-mode", choices=["grouped", "exact"],
+                   default="grouped")
+    p.add_argument("--group-size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", choices=["float32", "float64", "bfloat16"],
                    default="float32")
@@ -92,6 +97,9 @@ def _build_config(args):
         engine=args.engine,
         theta=args.theta,
         max_depth=args.max_depth,
+        softening=args.softening,
+        bh_mode=args.bh_mode,
+        group_size=args.group_size,
         seed=args.seed,
         dtype=args.precision,
         target_block=args.target_block,
