@@ -106,6 +106,12 @@ def list_eval_pallas(
 ) -> jax.Array:
     """Accelerations [G, S, 2] of each group's bodies due to its list."""
     g, s, _ = targets.shape
+    # VMEM gate (the occupancy-model discipline, utils/occupancy.py): the
+    # kernel materialises ~3 (S, K_TILE) f32 temporaries plus blocks, so
+    # clamp the tile for large group sizes.
+    budget = 10 * 1024 * 1024
+    k_tile_max = max(256, (budget // (s * 4 * 3)) // 128 * 128)
+    k_tile = min(k_tile, k_tile_max)
     k = sources.shape[2]
     if k % k_tile:
         pad = k_tile - k % k_tile
