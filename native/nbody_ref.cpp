@@ -103,9 +103,9 @@ class Quadtree {
           ax += mag * dx / r;
           ay += mag * dy / r;
         } else {
-          for (int c = 3; c >= 0; --c) {
-            // pushed 0..3 / popped 3..0 in the reference; push reversed so
-            // the LIFO pop order (and thus fp summation order) matches
+          for (int c = 0; c < 4; ++c) {
+            // push ascending 0..3 like the reference, so the LIFO pop
+            // order is 3..0 and the fp summation order matches exactly
             if (nd.child[c] != -1) stack.push_back(nd.child[c]);
           }
         }

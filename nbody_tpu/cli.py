@@ -60,6 +60,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--metrics-csv", default=None, metavar="FILE",
                    help="per-step energy/momentum/tree-stats CSV")
+    p.add_argument("--no-metrics-tree", action="store_true",
+                   help="skip per-step tree statistics in the metrics CSV "
+                        "(they rebuild the pyramid once per step)")
     p.add_argument("--check-overflow", action="store_true",
                    help="barnes_hut: run one diagnostic force pass before "
                         "the simulation and warn if any traversal/list cap "
@@ -110,6 +113,7 @@ def _build_config(args):
         output_dir=args.output_dir,
         checkpoint_every=args.checkpoint_every,
         metrics_csv=args.metrics_csv,
+        metrics_tree=not args.no_metrics_tree,
         mesh=MeshConfig(dp=args.devices),
     )
 
@@ -173,26 +177,16 @@ def cmd_run(args) -> int:
     sim = Simulation(config, state=state, step_fn=step_fn)
 
     if args.check_overflow and args.engine == "barnes_hut" and args.devices == 1:
+        # Diagnose the engine that will actually run: dispatch on bh_mode
+        # with the engine's own cap configuration (make_accel_fn), not a
+        # fixed grouped call — exact mode uses the raw frontier_cap with
+        # different overflow behavior.
         import numpy as _np
 
-        from .ops.bh_grouped import bh_accelerations_grouped
+        from .models.engines import make_accel_fn
 
-        _, ovf = bh_accelerations_grouped(
-            sim.state.positions,
-            sim.state.masses,
-            g=config.g,
-            theta=config.theta,
-            max_depth=config.max_depth,
-            softening=config.softening,
-            group_size=config.group_size,
-            frontier_cap=max(config.frontier_cap, 1024),
-            list_cap=config.list_cap,
-            direct_cap=config.direct_cap,
-            direct_cell_max=config.direct_cell_max,
-            direct_body_cap=config.direct_body_cap,
-            group_chunk=config.group_chunk,
-            return_diagnostics=True,
-        )
+        diag_fn = make_accel_fn(config, return_diagnostics=True)
+        _, ovf = diag_fn(sim.state.positions, sim.state.masses)
         n_ovf = int(_np.asarray(ovf).sum())
         if n_ovf:
             print(
@@ -208,15 +202,69 @@ def cmd_run(args) -> int:
 
         from .utils.timing import RunTiming
 
-        # compile outside the clock, then one fully-fused device program
-        compiled = sim._scan_steps.lower(sim.state, config.n_steps).compile()
-        t0 = _time.perf_counter()
-        final = compiled(sim.state)
-        jax.block_until_ready(final.positions)
-        # the tunnel's block_until_ready may not wait; force a fetch
-        float(final.positions[0, 0])
-        elapsed = _time.perf_counter() - t0
-        sim.state = final
+        # per-step host side effects that genuinely cannot run inside one
+        # compiled scan — warn loudly instead of silently dropping them
+        unsupported = []
+        if args.checkpoint_every:
+            unsupported.append("--checkpoint-every")
+        if args.metrics_csv:
+            unsupported.append("--metrics-csv")
+        if unsupported:
+            print(
+                f"WARNING: {', '.join(unsupported)} ignored under --fused "
+                "(needs per-step host sync); rerun without --fused for "
+                "those outputs",
+                file=sys.stderr,
+            )
+
+        capture = args.save_positions or args.save_tree_dumps
+        if args.save_tree_dumps:
+            sim._dump_tree(sim.state, first=True)
+
+        if capture:
+            # trajectory captured on-device inside the scan (stacked
+            # [steps+1, N, 2]), written in one host pass afterwards —
+            # savePositions-every-step semantics (project.cu:909) without
+            # per-step crossings
+            t0_time = float(sim.state.time)
+            compiled = sim._scan_traj.lower(
+                sim.state, config.n_steps
+            ).compile()
+            t0 = _time.perf_counter()
+            final, traj = compiled(sim.state)
+            jax.block_until_ready(traj)
+            float(final.positions[0, 0])  # tunnel sync (see bench.py)
+            elapsed = _time.perf_counter() - t0
+            sim.state = final
+
+            if args.save_positions:
+                from .utils.textio import PositionsWriter
+
+                writer = PositionsWriter(
+                    os.path.join(args.output_dir, "positions.txt")
+                )
+                traj_np = np.asarray(traj)
+                for k in range(traj_np.shape[0]):
+                    writer.append(t0_time + k * config.dt, traj_np[k])
+                writer.flush()
+            if args.save_tree_dumps:
+                # the reference dumps the final tree at the TOP of the
+                # last step (project.cu:962-965), i.e. after n-1 updates
+                sim._dump_tree(
+                    final, first=False, positions=traj[config.n_steps - 1]
+                )
+        else:
+            # compile outside the clock, then one fully-fused program
+            compiled = sim._scan_steps.lower(
+                sim.state, config.n_steps
+            ).compile()
+            t0 = _time.perf_counter()
+            final = compiled(sim.state)
+            jax.block_until_ready(final.positions)
+            # the tunnel's block_until_ready may not wait; force a fetch
+            float(final.positions[0, 0])
+            elapsed = _time.perf_counter() - t0
+            sim.state = final
         timing = RunTiming(total_ms=elapsed * 1e3,
                            parallel_us=elapsed * 1e6)
     else:

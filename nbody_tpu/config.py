@@ -152,8 +152,11 @@ class SimConfig:
     checkpoint_path: Optional[str] = None
 
     # Observability (SURVEY.md 5.5): per-step conserved-quantity / tree
-    # statistics CSV, opt-in by filename.
+    # statistics CSV, opt-in by filename.  Tree statistics (node count /
+    # max occupied depth, observations.txt:59-65) rebuild the pyramid once
+    # per recorded step; opt out for very large N with metrics_tree=False.
     metrics_csv: Optional[str] = None
+    metrics_tree: bool = True
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

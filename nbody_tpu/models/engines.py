@@ -21,17 +21,28 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def make_accel_fn(config: SimConfig) -> Callable:
-    """Build the configured engine's acceleration function."""
+def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callable:
+    """Build the configured engine's acceleration function.
+
+    With ``return_diagnostics`` the function returns ``(acc, overflow)``
+    where ``overflow`` is a per-body bool marking traversal/list-cap
+    overflow (the stack-guard analogue, reference project.cu:712-721).
+    The all-pairs engines cannot overflow and return all-False.
+    """
     engine = config.engine
     g = config.g
 
     if engine == "naive":
         # main_approach_1.cpp semantics: dense O(N^2), no softening.
         def accel(positions, masses):
-            return pair_accelerations_dense(
+            acc = pair_accelerations_dense(
                 positions, masses, g=g, softening=0.0
             )
+            if return_diagnostics:
+                import jax.numpy as jnp
+
+                return acc, jnp.zeros((positions.shape[0],), bool)
+            return acc
 
         return accel
 
@@ -46,18 +57,24 @@ def make_accel_fn(config: SimConfig) -> Callable:
             if n < 512:
                 # Tiny problems: the dense XLA path beats kernel overheads
                 # (the analogue of the reference running small N on CPU).
-                return pair_accelerations_dense(
+                acc = pair_accelerations_dense(
                     positions, masses, g=g, softening=softening
                 )
-            return allpairs_accelerations(
-                positions,
-                masses,
-                g=g,
-                softening=softening,
-                target_block=config.target_block,
-                source_block=config.source_block,
-                interpret=interpret,
-            )
+            else:
+                acc = allpairs_accelerations(
+                    positions,
+                    masses,
+                    g=g,
+                    softening=softening,
+                    target_block=config.target_block,
+                    source_block=config.source_block,
+                    interpret=interpret,
+                )
+            if return_diagnostics:
+                import jax.numpy as jnp
+
+                return acc, jnp.zeros((n,), bool)
+            return acc
 
         return accel
 
@@ -74,6 +91,7 @@ def make_accel_fn(config: SimConfig) -> Callable:
                     max_depth=config.max_depth,
                     softening=config.softening,
                     frontier_cap=config.frontier_cap,
+                    return_diagnostics=return_diagnostics,
                 )
 
             return accel
@@ -95,6 +113,7 @@ def make_accel_fn(config: SimConfig) -> Callable:
                 direct_cell_max=config.direct_cell_max,
                 direct_body_cap=config.direct_body_cap,
                 group_chunk=config.group_chunk,
+                return_diagnostics=return_diagnostics,
             )
 
         return accel

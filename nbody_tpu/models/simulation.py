@@ -50,6 +50,7 @@ class Simulation:
                 " True) (or JAX_ENABLE_X64=1) before creating arrays"
             )
         self.state = state if state is not None else random_state(config)
+        self._step_diag = None
         if step_fn is None:
             self._accel_fn = make_accel_fn(config)
             dt = config.dt
@@ -59,6 +60,19 @@ class Simulation:
                 return integrate(state, acc, dt)
 
             step_fn = jax.jit(step)
+
+            if config.engine == "barnes_hut":
+                # Per-step overflow surfacing (the reference's in-kernel
+                # stack-guard printfs, project.cu:712-721): the flag is
+                # computed by the traversal anyway, so the diagnostic step
+                # costs one extra scalar reduce.
+                accel_diag = make_accel_fn(config, return_diagnostics=True)
+
+                def step_diag(state: SimState):
+                    acc, ovf = accel_diag(state.positions, state.masses)
+                    return integrate(state, acc, dt), jnp.sum(ovf)
+
+                self._step_diag = jax.jit(step_diag)
         else:
 
             def step(state: SimState) -> SimState:
@@ -74,6 +88,17 @@ class Simulation:
             return final
 
         self._scan_steps = jax.jit(scan_steps, static_argnums=1)
+
+        def scan_traj(state: SimState, n_steps: int):
+            def body(s, _):
+                s2 = step(s)
+                return s2, s2.positions
+
+            final, history = jax.lax.scan(body, state, None, length=n_steps)
+            traj = jnp.concatenate([state.positions[None], history], axis=0)
+            return final, traj
+
+        self._scan_traj = jax.jit(scan_traj, static_argnums=1)
 
     # ------------------------------------------------------------------
     def run_contract(self) -> Tuple[SimState, RunTiming]:
@@ -91,40 +116,67 @@ class Simulation:
             writer.append(float(state.time), np.asarray(state.positions))
 
         metrics = None
+        record_tree = False
         if getattr(cfg, "metrics_csv", None):
             from ..utils.metrics import MetricsWriter
 
             metrics = MetricsWriter(
                 os.path.join(cfg.output_dir, cfg.metrics_csv), g=cfg.g
             )
-            metrics.record(state)
+            # tree stats only make sense for the tree engine, and rebuild
+            # the pyramid once per recorded step (opt out: metrics_tree)
+            record_tree = (
+                getattr(cfg, "metrics_tree", True)
+                and cfg.engine == "barnes_hut"
+            )
+            metrics.record(state, self._tree_stats(state, record_tree))
+
+        step_fn = self._step_diag if self._step_diag is not None else None
 
         # AOT-compile the step before starting the clock: the reference's
         # compile happens at nvcc time, outside its timers
         # (first_scaling_script.sh:30 recompiles, then times ./project).
         try:
-            self.step_fn.lower(state).compile()
+            (step_fn or self.step_fn).lower(state).compile()
         except Exception:
             pass  # non-jitted custom step; first step pays compile
 
         import time as _time
 
         t_total0 = _time.perf_counter()
+        overflow_steps = 0
 
         for step_idx in range(cfg.n_steps):
             if cfg.save_tree_dumps and step_idx in (0, cfg.n_steps - 1):
                 self._dump_tree(state, first=(step_idx == 0))
 
             watch.start()
-            state = self.step_fn(state)
+            if step_fn is not None:
+                state, n_ovf = step_fn(state)
+            else:
+                state = self.step_fn(state)
+                n_ovf = None
             jax.block_until_ready(state.positions)
             watch.stop()
+
+            if n_ovf is not None and int(n_ovf):
+                overflow_steps += 1
+                if overflow_steps <= 3:
+                    import sys as _sys
+
+                    print(
+                        f"WARNING: step {step_idx}: traversal caps "
+                        f"overflowed for {int(n_ovf)} bodies (forces drop "
+                        "interactions); raise --frontier-cap / list/direct "
+                        "caps",
+                        file=_sys.stderr,
+                    )
 
             if writer is not None:
                 writer.append(float(state.time), np.asarray(state.positions))
 
             if metrics is not None:
-                metrics.record(state)
+                metrics.record(state, self._tree_stats(state, record_tree))
 
             if (
                 cfg.checkpoint_every
@@ -133,6 +185,15 @@ class Simulation:
                 from ..utils.checkpoint import save_checkpoint
 
                 save_checkpoint(self._checkpoint_path(), state)
+
+        if overflow_steps > 3:
+            import sys as _sys
+
+            print(
+                f"WARNING: traversal caps overflowed on {overflow_steps} of "
+                f"{cfg.n_steps} steps (first 3 reported above)",
+                file=_sys.stderr,
+            )
 
         timing.total_ms = (_time.perf_counter() - t_total0) * 1e3
         timing.parallel_us = watch.accum_us
@@ -158,23 +219,19 @@ class Simulation:
         [n_steps + 1, N, 2] (step 0 included, like savePositions) — the
         device-side equivalent of the per-step positions.txt capture."""
         n = n_steps if n_steps is not None else self.config.n_steps
-        step = self.step_fn
-
-        @jax.jit
-        def scan_traj(state: SimState):
-            def body(s, _):
-                s2 = step(s)
-                return s2, s2.positions
-
-            final, history = jax.lax.scan(body, state, None, length=n)
-            traj = jnp.concatenate(
-                [state.positions[None], history], axis=0
-            )
-            return final, traj
-
-        final, traj = scan_traj(self.state)
+        final, traj = self._scan_traj(self.state, n)
         self.state = final
         return final, traj
+
+    # ------------------------------------------------------------------
+    def _tree_stats(self, state: SimState, enabled: bool):
+        if not enabled:
+            return None
+        from ..utils.metrics import tree_stats
+
+        return tree_stats(
+            state.positions, state.masses, max_depth=self.config.max_depth
+        )
 
     # ------------------------------------------------------------------
     def _checkpoint_path(self) -> str:
@@ -183,14 +240,20 @@ class Simulation:
             cfg.output_dir, "checkpoint.npz"
         )
 
-    def _dump_tree(self, state: SimState, first: bool) -> None:
+    def _dump_tree(self, state: SimState, first: bool,
+                   positions=None) -> None:
         """Write the quadtree dump for this step (TraverseTreeToFile
         contract).  The adaptive structure is reconstructed on host — the
         reference also builds this tree on the host every step
         (project.cu:959).  Prefers the native C++ builder (byte-identical
-        to the Python oracle, see tests/test_native.py) for large N."""
+        to the Python oracle, see tests/test_native.py) for large N.
+
+        ``positions`` overrides the state's positions (the fused path
+        dumps the final tree from a captured trajectory row)."""
         cfg = self.config
-        positions = np.asarray(state.positions)
+        positions = np.asarray(
+            state.positions if positions is None else positions
+        )
         masses = np.asarray(state.masses)
         try:
             from ..utils import native

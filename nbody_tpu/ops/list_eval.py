@@ -110,7 +110,15 @@ def list_eval_pallas(
     # kernel materialises ~3 (S, K_TILE) f32 temporaries plus blocks, so
     # clamp the tile for large group sizes.
     budget = 10 * 1024 * 1024
-    k_tile_max = max(256, (budget // (s * 4 * 3)) // 128 * 128)
+    k_tile_max = (budget // (s * 4 * 3)) // 128 * 128
+    if k_tile_max < 128:
+        # even a one-lane-wide tile busts the budget; a silent over-budget
+        # tile would spill or fail inside Mosaic with a cryptic error
+        raise ValueError(
+            f"group size {s} too large for the {budget // 2**20} MB VMEM "
+            "budget (needs s <= "
+            f"{budget // (128 * 4 * 3)}); reduce group_size"
+        )
     k_tile = min(k_tile, k_tile_max)
     k = sources.shape[2]
     if k % k_tile:

@@ -161,6 +161,13 @@ def make_dp2d_allpairs_step(config: SimConfig, mesh: Mesh) -> Callable:
         all_m = jax.lax.all_gather(masses, dp_axis, axis=0, tiled=True)
         # my source stripe
         n = all_pos.shape[0]
+        if n % sp:
+            # shapes are static at trace time; without this the last
+            # n % sp bodies would silently drop as force sources
+            raise ValueError(
+                f"dp2d_allpairs: global body count {n} not divisible by "
+                f"the sp axis ({sp}); pad n_bodies or change the mesh"
+            )
         block = n // sp
         k = jax.lax.axis_index(sp_axis)
         src_p = jax.lax.dynamic_slice_in_dim(all_pos, k * block, block, 0)

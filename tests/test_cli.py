@@ -81,6 +81,35 @@ def test_run_with_files_and_init_roundtrip(tmp_path, capsys):
     assert "Loaded 64 bodies from text files." in capsys.readouterr().out
 
 
+def test_fused_honors_side_effects(tmp_path, capsys):
+    """--fused must write the same positions.txt / tree dumps as the
+    contract loop (savePositions every step, project.cu:909; dumps at the
+    first and top-of-last step, project.cu:962-965)."""
+    common = [
+        "run", "--engine", "naive", "--n-bodies", "64", "--steps", "3",
+        "--seed", "5", "--save-positions", "--save-tree-dumps",
+    ]
+    loop_dir = tmp_path / "loop"
+    fused_dir = tmp_path / "fused"
+    assert main(common + ["--output-dir", str(loop_dir)]) == 0
+    assert main(common + ["--output-dir", str(fused_dir), "--fused"]) == 0
+    capsys.readouterr()
+    for name in ("positions.txt", "quadtree_init.txt", "quadtree_final.txt"):
+        a = (loop_dir / name).read_text()
+        b = (fused_dir / name).read_text()
+        assert a == b, f"{name} differs between loop and fused runs"
+
+
+def test_fused_warns_on_unsupported(tmp_path, capsys):
+    rc = main([
+        "run", "--engine", "naive", "--n-bodies", "64", "--steps", "2",
+        "--fused", "--checkpoint-every", "1", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "--checkpoint-every" in err and "ignored under --fused" in err
+
+
 def test_sweep_strong_format(tmp_path, capsys, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rc = main(

@@ -38,6 +38,35 @@ def test_metrics_csv(tmp_path):
     assert 64 <= int(rows[0]["tree_nodes"]) <= 64 * 10
 
 
+def test_metrics_csv_through_run_contract(tmp_path):
+    """--metrics-csv runs on the tree engine must produce non-empty
+    tree_nodes / tree_max_depth columns (the integration the reference's
+    dev log tracks by hand, observations.txt:59-65)."""
+    from nbody_tpu.models.simulation import Simulation
+
+    cfg = SimConfig(
+        n_bodies=64,
+        n_steps=3,
+        engine="barnes_hut",
+        seed=11,
+        metrics_csv="metrics.csv",
+        output_dir=str(tmp_path),
+    )
+    Simulation(cfg).run_contract()
+    rows = list(csv.DictReader(open(tmp_path / "metrics.csv")))
+    assert len(rows) == 4  # step 0 + 3 steps, like savePositions
+    for row in rows:
+        assert int(row["tree_nodes"]) >= 1
+        assert row["tree_max_depth"] != ""
+        assert float(row["kinetic_energy"]) > 0
+
+    # opt-out leaves the columns empty but keeps the CSV
+    cfg2 = cfg.replace(metrics_csv="metrics2.csv", metrics_tree=False)
+    Simulation(cfg2).run_contract()
+    rows2 = list(csv.DictReader(open(tmp_path / "metrics2.csv")))
+    assert rows2[0]["tree_nodes"] == ""
+
+
 def test_tree_stats_depth():
     # two bodies in the same finest cell force full depth
     state = make_state(
