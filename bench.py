@@ -33,9 +33,11 @@ def main():
     from nbody_tpu.config import G_DEFAULT
     from nbody_tpu.ops.allpairs import allpairs_accelerations
 
+    from nbody_tpu.utils.occupancy import resolve_tiles
+
     on_tpu = jax.default_backend() == "tpu"
     n = 65536 if on_tpu else 2048
-    tb, sb = (512, 2048) if on_tpu else (256, 512)
+    tb, sb = resolve_tiles(n, verbose=True)
     interpret = not on_tpu
     log(f"bench: backend={jax.default_backend()} n={n} tiles=({tb},{sb})")
 

@@ -44,8 +44,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", choices=["float32", "float64", "bfloat16"],
                    default="float32")
-    p.add_argument("--target-block", type=int, default=256)
-    p.add_argument("--source-block", type=int, default=1024)
+    p.add_argument("--target-block", type=int, default=None,
+                   help="all-pairs tile rows (default: occupancy model)")
+    p.add_argument("--source-block", type=int, default=None,
+                   help="all-pairs tile cols (default: occupancy model)")
+    p.add_argument("--verbose-occupancy", action="store_true",
+                   help="print the occupancy model's tile decision "
+                        "(getOptimalBlockSize dump analogue, "
+                        "project.cu:201-214)")
     p.add_argument("--frontier-cap", type=int, default=256)
     # init modes (README.md:14-18: CPU init / GPU init / load from files)
     p.add_argument("--load-init", metavar="DIR", default=None,
@@ -107,6 +113,7 @@ def _build_config(args):
         dtype=args.precision,
         target_block=args.target_block,
         source_block=args.source_block,
+        verbose_occupancy=args.verbose_occupancy,
         frontier_cap=args.frontier_cap,
         save_positions=args.save_positions,
         save_tree_dumps=args.save_tree_dumps,
@@ -277,6 +284,85 @@ def cmd_run(args) -> int:
     return 0
 
 
+_COMPARE_ENGINES = (
+    "naive", "allpairs", "barnes_hut",
+    "native", "native_naive", "oracle", "oracle_naive",
+)
+
+
+def _run_engine_final(name: str, config, state0) -> np.ndarray:
+    """Run ``n_steps`` of one engine from a fixed init; return final
+    positions [N, 2] (float64 for the host engines, the configured dtype
+    for the TPU engines)."""
+    m = np.asarray(state0.masses, np.float64)
+    p = np.asarray(state0.positions, np.float64)
+    v = np.asarray(state0.velocities, np.float64)
+
+    if name in ("native", "native_naive"):
+        from .utils import native
+
+        pos, _ = native.simulate(
+            p, v, m, config.n_steps, config.dt, config.g,
+            engine="naive" if name == "native_naive" else "barnes_hut",
+            theta=config.theta, max_depth=config.max_depth,
+        )
+        return pos
+    if name in ("oracle", "oracle_naive"):
+        from .models import oracle
+
+        return oracle.simulate(
+            p, v, m, config.n_steps, dt=config.dt, g=config.g,
+            engine="naive" if name == "oracle_naive" else "barnes_hut",
+            theta=config.theta, max_depth=config.max_depth,
+        )[-1]
+
+    from .models.simulation import Simulation
+    from .state import make_state
+
+    sim = Simulation(
+        config.replace(
+            engine=name,
+            save_positions=False,
+            save_tree_dumps=False,
+            metrics_csv=None,
+            checkpoint_every=0,
+        ),
+        state=make_state(m, p, v, dtype=config.jnp_dtype()),
+    )
+    sim.run_scan()
+    return np.asarray(sim.state.positions, np.float64)
+
+
+def cmd_compare(args) -> int:
+    """The reference's verification-by-comparison workflow
+    (project.cu:1049-1105): run two engines from ONE initial condition and
+    print the checkEqual verdict (project.cu:1027-1047).
+
+    Unlike the reference's main (which reuses the mutated velocity array
+    between the CPU and GPU runs), both engines start from identical
+    (masses, positions, velocities)."""
+    import time as _time
+
+    config = _build_config(args)
+    state0 = _make_state(args, config)
+
+    from .utils.textio import check_equal
+
+    finals = []
+    for name in (args.engine_a, args.engine_b):
+        t0 = _time.perf_counter()
+        finals.append(_run_engine_final(name, config, state0))
+        ms = (_time.perf_counter() - t0) * 1e3
+        print(f"{name} total computation took {ms:.0f} milliseconds.")
+
+    print()
+    equal = check_equal(
+        finals[0], finals[1], "final positions", tol=args.tol
+    )
+    print()
+    return 0 if equal else 1
+
+
 def cmd_sweep(args) -> int:
     from .bench.sweeps import run_sweep
 
@@ -337,6 +423,28 @@ def main(argv=None) -> int:
                          help="comma list for --experiment bodies")
     p_sweep.add_argument("--results-file", default="scaling_results.txt")
     p_sweep.set_defaults(fn=cmd_sweep)
+
+    p_compare = sub.add_parser(
+        "compare",
+        help="run two engines from one init and print the checkEqual "
+        "verdict (project.cu:1027-1047 workflow)",
+    )
+    _add_common(p_compare)
+    p_compare.add_argument(
+        "--engine-a", choices=_COMPARE_ENGINES, default="native",
+        help="first engine (native/oracle run the f64 host reference)",
+    )
+    p_compare.add_argument(
+        "--engine-b", choices=_COMPARE_ENGINES, default="barnes_hut",
+        help="second engine",
+    )
+    p_compare.add_argument(
+        "--tol", type=float, default=1e-10,
+        help="element tolerance (reference checkEqual uses 1e-10 for its "
+        "f64-vs-f64 runs; f32 TPU engines vs the f64 host engines need "
+        "a looser budget, e.g. 1e-5)",
+    )
+    p_compare.set_defaults(fn=cmd_compare)
 
     p_bench = sub.add_parser("bench", help="headline benchmark JSON line")
     p_bench.set_defaults(fn=cmd_bench)

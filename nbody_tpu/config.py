@@ -116,9 +116,13 @@ class SimConfig:
     init: InitRanges = dataclasses.field(default_factory=InitRanges)
 
     # Kernel tiling (the TPU analogue of the reference's occupancy model,
-    # project.cu:163-217: pick a block size from hardware limits).
-    target_block: int = 256
-    source_block: int = 1024
+    # project.cu:163-217: pick a block size from hardware limits).  None =
+    # auto: utils.occupancy.resolve_tiles picks from the VMEM model, like
+    # the reference calling getOptimalBlockSize before every launch
+    # (project.cu:977/994).
+    target_block: Optional[int] = None
+    source_block: Optional[int] = None
+    verbose_occupancy: bool = False
 
     # Barnes-Hut traversal frontier capacity (the TPU analogue of the
     # reference's fixed in-register stack of 3*MAX_DEPTH+1 ints,

@@ -61,13 +61,21 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                     positions, masses, g=g, softening=softening
                 )
             else:
+                from ..utils.occupancy import resolve_tiles
+
+                tb, sb = resolve_tiles(
+                    n,
+                    config.target_block,
+                    config.source_block,
+                    verbose=getattr(config, "verbose_occupancy", False),
+                )
                 acc = allpairs_accelerations(
                     positions,
                     masses,
                     g=g,
                     softening=softening,
-                    target_block=config.target_block,
-                    source_block=config.source_block,
+                    target_block=tb,
+                    source_block=sb,
                     interpret=interpret,
                 )
             if return_diagnostics:

@@ -52,16 +52,23 @@ def _make_accel_vs(config: SimConfig) -> Callable:
     g = config.g
     if jax.default_backend() == "tpu":
         from ..ops.allpairs import allpairs_accelerations_vs
+        from ..utils.occupancy import resolve_tiles
 
         def accel_vs(tgt, src, src_m):
+            tb, sb = resolve_tiles(
+                tgt.shape[0],
+                config.target_block,
+                config.source_block,
+                verbose=getattr(config, "verbose_occupancy", False),
+            )
             return allpairs_accelerations_vs(
                 tgt,
                 src,
                 src_m,
                 g=g,
                 softening=0.0,
-                target_block=config.target_block,
-                source_block=config.source_block,
+                target_block=tb,
+                source_block=sb,
             )
 
         return accel_vs

@@ -81,6 +81,33 @@ def test_run_with_files_and_init_roundtrip(tmp_path, capsys):
     assert "Loaded 64 bodies from text files." in capsys.readouterr().out
 
 
+def test_compare_engines_verdicts(tmp_path, capsys):
+    """The checkEqual workflow (project.cu:1070-1092): two engines, one
+    init, verdict lines (project.cu:1042-1046 strings)."""
+    common = ["compare", "--n-bodies", "96", "--steps", "3", "--seed", "3"]
+    # f64 native C++ vs f64 Python oracle: bit-faithful pair, 1e-10 passes
+    rc = main(common + ["--engine-a", "native", "--engine-b", "oracle"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "The final positions are the same." in out
+    assert "total computation took" in out
+
+    # f32 TPU engine vs f64 oracle at the reference's f64 tolerance: the
+    # NOT-same verdict with per-row difference lines
+    rc = main(common + ["--engine-a", "oracle_naive", "--engine-b", "naive"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "!!!!! The final positions are NOT the same !!!!!" in out
+    assert re.search(r"Difference at index \[\d+\]\[\d+\]:", out)
+
+    # ... and within an f32-appropriate budget they agree
+    rc = main(common + ["--engine-a", "oracle_naive", "--engine-b", "naive",
+                        "--tol", "1e-5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "The final positions are the same." in out
+
+
 def test_fused_honors_side_effects(tmp_path, capsys):
     """--fused must write the same positions.txt / tree dumps as the
     contract loop (savePositions every step, project.cu:909; dumps at the

@@ -111,12 +111,25 @@ def test_checked_accel_flags_nonfinite():
 
 
 def test_occupancy_model():
-    from nbody_tpu.utils.occupancy import allpairs_tiles, tree_fits_vmem
+    from nbody_tpu.utils.occupancy import (
+        allpairs_tiles,
+        resolve_tiles,
+        tree_fits_vmem,
+    )
 
     cfg = allpairs_tiles(65536)
     assert cfg.target_block % 8 == 0
     assert cfg.source_block % 128 == 0
     assert cfg.working_set_bytes <= 16 * 1024 * 1024
+    # the measured-best config at the flagship N (see allpairs_tiles doc)
+    assert (cfg.target_block, cfg.source_block) == (512, 2048)
+    # the hot path consults the model (None = auto) and honors overrides
+    assert resolve_tiles(65536) == (512, 2048)
+    assert resolve_tiles(65536, 256, None) == (256, 2048)
+    assert resolve_tiles(65536, None, 1024) == (512, 1024)
+    # small problems shrink within budget
+    tb, sb = resolve_tiles(1024)
+    assert tb <= 512 and 3 * tb * sb * 4 <= 16 * 1024 * 1024
     # the reference's depth cap always fits on-chip; depth 12 does not
     assert tree_fits_vmem(9)
     assert not tree_fits_vmem(12)
