@@ -13,7 +13,6 @@ reference's own plot_quadtree.py / plot_2d.py unchanged).
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nbody_tpu.cli import main as cli
 

@@ -1,0 +1,100 @@
+"""Headline benchmark: all-pairs pairwise interactions/sec/chip at N=64K.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} on stdout.
+Baseline: the BASELINE.json north star of 1e10 pairwise interactions/sec/
+chip at N=65,536 (derived from the reference's best 64.999 ms / 10 steps
+Barnes-Hut at N=40,000 on an NVIDIA T600, project_report.pdf p.24).
+
+Methodology notes (see .claude/skills/verify/SKILL.md): the remote-TPU
+tunnel memoizes identical dispatches and block_until_ready does not wait,
+so the measurement (a) chains steps on-device with a data dependency,
+(b) uses fresh random inputs per timed call, (c) syncs by fetching a
+scalar, and (d) reports the slope between two chain lengths so dispatch
+and transfer overhead cancel.  Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config import G_DEFAULT
+    from ..ops.allpairs import allpairs_accelerations
+    from ..utils.occupancy import resolve_tiles
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = 65536 if on_tpu else 2048
+    tb, sb = resolve_tiles(n, verbose=True)
+    interpret = not on_tpu
+    log(f"bench: backend={jax.default_backend()} n={n} tiles=({tb},{sb})")
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(positions, masses, k):
+        def body(p, _):
+            acc = allpairs_accelerations(
+                p,
+                masses,
+                g=G_DEFAULT,
+                target_block=tb,
+                source_block=sb,
+                interpret=interpret,
+            )
+            # semi-implicit Euler-ish dependency so steps can't be elided
+            return p + acc, None
+
+        p, _ = jax.lax.scan(body, positions, None, length=k)
+        return jnp.sum(p)
+
+    rng = np.random.default_rng(0)
+    masses = jnp.asarray(
+        10 ** rng.uniform(-1, np.log10(0.5), n), jnp.float32
+    )
+
+    def fresh():
+        return jnp.asarray(rng.uniform(-0.1, 0.1, (n, 2)), jnp.float32)
+
+    k_lo, k_hi = (2, 12) if on_tpu else (1, 3)
+    for k in (k_lo, k_hi):  # compile both
+        float(chain(fresh(), masses, k))
+    t = {}
+    for k in (k_lo, k_hi):
+        best = float("inf")
+        for _ in range(3):
+            p = fresh()
+            t0 = time.perf_counter()
+            float(chain(p, masses, k))  # scalar fetch = real sync
+            best = min(best, time.perf_counter() - t0)
+        t[k] = best
+    step_time = (t[k_hi] - t[k_lo]) / (k_hi - k_lo)
+    pairs_per_sec = n * n / step_time
+    log(
+        f"bench: {step_time*1e3:.2f} ms/step, "
+        f"{pairs_per_sec/1e9:.1f} Gpairs/s"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"allpairs_pairwise_interactions_per_sec_n{n}",
+                "value": pairs_per_sec,
+                "unit": "pairs/s/chip",
+                "vs_baseline": pairs_per_sec / 1e10,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -383,12 +383,10 @@ def cmd_plot(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    """Convenience alias: the repo-root bench.py headline metric."""
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, root)
-    import bench
+    """The headline benchmark metric (also: repo-root bench.py)."""
+    from .bench.headline import main as bench_main
 
-    bench.main()
+    bench_main()
     return 0
 
 

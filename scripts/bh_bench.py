@@ -4,7 +4,6 @@ import functools
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp

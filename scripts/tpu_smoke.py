@@ -3,7 +3,6 @@
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp

@@ -6,15 +6,12 @@ strategy SURVEY.md section 4 prescribes.  Must run before jax is imported.
 """
 
 import os
-import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS to the remote-TPU
 # tunnel ("axon") and ignores env overrides; jax.config wins.  Override
