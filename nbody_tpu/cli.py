@@ -40,7 +40,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="distance softening (project.cu:634; naive uses 0)")
     p.add_argument("--bh-mode", choices=["grouped", "exact"],
                    default="grouped")
-    p.add_argument("--group-size", type=int, default=512)
+    p.add_argument("--group-size", type=int, default=2048)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", choices=["float32", "float64", "bfloat16"],
                    default="float32")
@@ -52,7 +52,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="print the occupancy model's tile decision "
                         "(getOptimalBlockSize dump analogue, "
                         "project.cu:201-214)")
-    p.add_argument("--frontier-cap", type=int, default=256)
+    p.add_argument("--frontier-cap", type=int, default=None,
+                   help="BH traversal capacity (default: auto — grouped "
+                        "mode derives a per-level schedule from measured "
+                        "demand; exact mode uses 256)")
     # init modes (README.md:14-18: CPU init / GPU init / load from files)
     p.add_argument("--load-init", metavar="DIR", default=None,
                    help="load masses/positions/velocities_init.txt from DIR")

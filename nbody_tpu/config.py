@@ -126,19 +126,22 @@ class SimConfig:
 
     # Barnes-Hut traversal frontier capacity (the TPU analogue of the
     # reference's fixed in-register stack of 3*MAX_DEPTH+1 ints,
-    # project.cu:708).
-    frontier_cap: int = 256
+    # project.cu:708).  None = auto: the grouped engine derives a
+    # per-level schedule from measured demand (ops.bh_grouped
+    # frontier_schedule); the exact engine uses 256.
+    frontier_cap: Optional[int] = None
 
     # Barnes-Hut engine mode: "grouped" (Morton-sorted body groups share a
     # conservative traversal + dense evaluation; the fast TPU path) or
     # "exact" (per-body frontier traversal, bit-faithful to the reference's
-    # per-thread DFS; used for parity testing and small N).
+    # per-thread DFS; used for parity testing and small N).  None caps =
+    # auto from ops.bh_grouped.cap_defaults (measured-demand calibration).
     bh_mode: str = "grouped"
-    group_size: int = 512
-    list_cap: int = 768
-    direct_cap: int = 1024
+    group_size: int = 2048
+    list_cap: Optional[int] = None
+    direct_cap: Optional[int] = None
     direct_cell_max: int = 32
-    direct_body_cap: int = 12288
+    direct_body_cap: Optional[int] = None
     group_chunk: int = 8
 
     # Parallelism.

@@ -98,7 +98,7 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                     theta=config.theta,
                     max_depth=config.max_depth,
                     softening=config.softening,
-                    frontier_cap=config.frontier_cap,
+                    frontier_cap=config.frontier_cap or 256,
                     return_diagnostics=return_diagnostics,
                 )
 
@@ -115,7 +115,7 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                 max_depth=config.max_depth,
                 softening=config.softening,
                 group_size=config.group_size,
-                frontier_cap=max(config.frontier_cap, 1024),
+                frontier_cap=config.frontier_cap,
                 list_cap=config.list_cap,
                 direct_cap=config.direct_cap,
                 direct_cell_max=config.direct_cell_max,

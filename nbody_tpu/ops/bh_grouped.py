@@ -53,6 +53,74 @@ from .tree import Quadtree, build_quadtree, level_cell_size, morton_codes
 _INT_MAX = jnp.int32(2**31 - 1)
 
 
+def _pow2_ceil(x: int) -> int:
+    return 1 << max(x - 1, 1).bit_length()
+
+
+def frontier_peak(n_bodies: int) -> int:
+    """Measured peak frontier demand grows ~4*sqrt(N) (gs=2048, n_sub=16,
+    theta=0.5): 722 @64K, 1452 @256K, 2646 @1M.  Next power of two with
+    ~1.5x headroom, clamped to [1024, 8192]."""
+    return min(8192, max(1024, _pow2_ceil(int(4 * n_bodies**0.5))))
+
+
+def cap_defaults(group_size: int, n_bodies: int) -> dict:
+    """Interaction-list cap defaults, calibrated on measured per-group
+    demand with ~1.5-2x headroom (uniform + two-blob collapsed
+    distributions at N in {64K, 256K, 1M}, gs=2048, n_sub=16):
+
+    | N    | approx | direct cells | direct bodies | frontier peak |
+    |------|--------|--------------|---------------|----------------|
+    | 64K  | 829    | 517          | 11,643        | 780            |
+    | 256K | 1,062  | 1,073        | 22,564        | 1,452          |
+    | 1M   | 1,818  | 1,743        | 39,539        | 2,646          |
+
+    Demand is nearly independent of group size (it is set by theta and
+    the tree geometry) but grows with body density, hence the N scaling.
+    The overflow flag guards any distribution that beats the headroom.
+    """
+    peak = frontier_peak(n_bodies)
+    return dict(
+        list_cap=max(1536, 3 * peak // 4),
+        direct_cap=max(1024, 3 * peak // 4),
+        direct_body_cap=max(24576, 16 * peak),
+        frontier_cap=peak,
+    )
+
+
+def frontier_schedule(
+    peak: int, max_depth: int, n_bodies: int
+) -> Tuple[int, ...]:
+    """Per-level frontier capacities.
+
+    A flat cap pays the peak at EVERY level; the measured demand is a
+    hump peaking at the level where bodies/cell ~ 16 (uniform states;
+    e.g. level 6 at N=64K, level 8 at N=1M) with a secondary tail at
+    max_depth for collapsed states (~780-1100 across N).  The schedule
+    sizes the peak level at ``peak``, its neighbours at peak/2..peak/8
+    by distance, and the deepest level at ``peak`` (collapsed tail),
+    cutting total gather rows ~3x vs the flat cap at N=64K; the overflow
+    flag still guards any distribution that beats it.
+    """
+    import math
+
+    lstar = min(
+        max_depth, max(4, round(math.log(max(n_bodies, 256) / 16, 4)))
+    )
+    shape = []
+    for level in range(max_depth + 1):
+        if level <= 3:
+            c = 4**level
+        elif level == max_depth:
+            c = peak
+        elif lstar < level:
+            c = peak // 2
+        else:
+            c = peak >> min(lstar - level, 3)
+        shape.append(int(min(c, peak, 4**level)))
+    return tuple(shape)
+
+
 def _sort_compact(mask, arrays, cap):
     """Compact masked row entries to the left and truncate to ``cap``.
 
@@ -79,7 +147,7 @@ def _collect_lists(
     *,
     theta: float,
     softening: float,
-    frontier_cap: int,
+    frontier_caps: Tuple[int, ...],
     list_cap: int,
     direct_cap: int,
     direct_cell_max: int,
@@ -216,7 +284,7 @@ def _collect_lists(
             rows[..., 4:8].reshape(g, -1) > 0
         )
 
-        next_cap = min(4 * fcap, frontier_cap, 4 ** (level + 1))
+        next_cap = min(4 * fcap, frontier_caps[level + 1])
         (nf,), ovf = _sort_compact(
             cmask, [jnp.where(cmask, children, -1)], next_cap
         )
@@ -512,6 +580,7 @@ def _evaluate(
         "group_chunk",
         "return_diagnostics",
         "use_pallas",
+        "n_sub",
     ),
 )
 def bh_accelerations_grouped(
@@ -522,17 +591,21 @@ def bh_accelerations_grouped(
     theta: float = THETA_DEFAULT,
     max_depth: int = MAX_DEPTH_DEFAULT,
     softening: float = BH_SOFTENING,
-    group_size: int = 512,
-    frontier_cap: int = 1024,
-    list_cap: int = 768,
-    direct_cap: int = 1024,
+    group_size: int = 2048,
+    frontier_cap: int | None = None,
+    list_cap: int | None = None,
+    direct_cap: int | None = None,
     direct_cell_max: int = 32,
-    direct_body_cap: int = 12288,
+    direct_body_cap: int | None = None,
     group_chunk: int = 8,
     return_diagnostics: bool = False,
     use_pallas: bool | None = None,
+    n_sub: int | None = None,
 ):
-    """Grouped Barnes-Hut accelerations [N, 2] (+ overflow [N] optional)."""
+    """Grouped Barnes-Hut accelerations [N, 2] (+ overflow [N] optional).
+
+    ``None`` caps resolve from :func:`cap_defaults` (measured-demand
+    defaults with ~2x headroom; the overflow flag guards the rest)."""
     f32 = positions.dtype
     tree = build_quadtree(positions, masses, max_depth=max_depth)
     # source bodies in Morton order (what direct ranges index into)
@@ -557,6 +630,7 @@ def bh_accelerations_grouped(
         return_diagnostics=return_diagnostics,
         target_codes=tree.codes,
         use_pallas=use_pallas,
+        n_sub=n_sub,
     )
 
 
@@ -570,16 +644,17 @@ def grouped_eval(
     g: float,
     theta: float = THETA_DEFAULT,
     softening: float = BH_SOFTENING,
-    group_size: int = 512,
-    frontier_cap: int = 1024,
-    list_cap: int = 768,
-    direct_cap: int = 1024,
+    group_size: int = 2048,
+    frontier_cap: int | None = None,
+    list_cap: int | None = None,
+    direct_cap: int | None = None,
     direct_cell_max: int = 32,
-    direct_body_cap: int = 12288,
+    direct_body_cap: int | None = None,
     group_chunk: int = 8,
     return_diagnostics: bool = False,
     target_codes: jax.Array | None = None,
     use_pallas: bool | None = None,
+    n_sub: int | None = None,
 ):
     """Grouped evaluation of arbitrary targets against a prebuilt tree.
 
@@ -593,6 +668,13 @@ def grouped_eval(
     """
     n = target_positions.shape[0]
     f32 = target_positions.dtype
+
+    # caps scale with the SOURCE cloud size (density sets demand)
+    defaults = cap_defaults(group_size, sorted_x.shape[0])
+    frontier_cap = frontier_cap or defaults["frontier_cap"]
+    list_cap = list_cap or defaults["list_cap"]
+    direct_cap = direct_cap or defaults["direct_cap"]
+    direct_body_cap = direct_body_cap or defaults["direct_body_cap"]
 
     if target_codes is None:
         target_codes = morton_codes(
@@ -611,9 +693,14 @@ def grouped_eval(
     )
     pg = tsort.reshape(-1, gs, 2)  # [G, S, 2]
 
-    # Q sub-bboxes per group over quarters of the sorted run (tight even
-    # when the run straddles a Morton seam; see _collect_lists)
-    n_sub = 4 if gs % 4 == 0 else 1
+    # Q sub-bboxes per group over slices of the sorted run (tight even
+    # when the run straddles a Morton seam; see _collect_lists).  Bigger
+    # groups need more sub-boxes to keep d_min tight (the union bbox of a
+    # 2048-body Morton run is a large fraction of the domain).
+    if n_sub is None:
+        n_sub = max(4, gs // 128)
+    if gs % n_sub:
+        n_sub = 1
     sub = pg.reshape(pg.shape[0], n_sub, gs // n_sub, 2)
     bbox = (
         jnp.min(sub[..., 0], axis=2),
@@ -626,7 +713,9 @@ def grouped_eval(
         tree,
         theta=theta,
         softening=softening,
-        frontier_cap=frontier_cap,
+        frontier_caps=frontier_schedule(
+            frontier_cap, tree.max_depth, sorted_x.shape[0]
+        ),
         list_cap=list_cap,
         direct_cap=direct_cap,
         direct_cell_max=direct_cell_max,

@@ -195,7 +195,7 @@ def make_dp_barnes_hut_step(config: SimConfig, mesh: Mesh) -> Callable:
     theta = config.theta
     max_depth = config.max_depth
     softening = config.softening
-    frontier_cap = config.frontier_cap
+    frontier_cap = config.frontier_cap or 256
 
     @functools.partial(
         shard_map,
@@ -282,7 +282,7 @@ def make_dp_barnes_hut_grouped_step(config: SimConfig, mesh: Mesh) -> Callable:
             theta=config.theta,
             softening=config.softening,
             group_size=config.group_size,
-            frontier_cap=max(config.frontier_cap, 1024),
+            frontier_cap=config.frontier_cap,
             list_cap=config.list_cap,
             direct_cap=config.direct_cap,
             direct_cell_max=config.direct_cell_max,
