@@ -44,6 +44,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", choices=["float32", "float64", "bfloat16"],
                    default="float32")
+    p.add_argument("--compensated", action="store_true",
+                   help="Kahan-compensated accumulation in the Pallas "
+                        "kernels (lower f32 error floor, ~few %% slower)")
     p.add_argument("--target-block", type=int, default=None,
                    help="all-pairs tile rows (default: occupancy model)")
     p.add_argument("--source-block", type=int, default=None,
@@ -114,6 +117,7 @@ def _build_config(args):
         group_size=args.group_size,
         seed=args.seed,
         dtype=args.precision,
+        compensated=args.compensated,
         target_block=args.target_block,
         source_block=args.source_block,
         verbose_occupancy=args.verbose_occupancy,

@@ -109,6 +109,9 @@ class SimConfig:
     # Precision policy.  The reference is all-fp64; TPU-native default is f32
     # with the f64 oracle used for parity budgets (SURVEY.md section 7).
     dtype: str = "float32"  # "float32" | "float64" | "bfloat16"
+    # Kahan-compensated cross-tile accumulation in the Pallas kernels
+    # (SURVEY 7 "hard parts"; pushes the f32 accumulation error floor).
+    compensated: bool = False
 
     # RNG (reference seeds std::rand with time(0), project.cu:1051; we use a
     # counter-based JAX PRNG for reproducibility).

@@ -77,6 +77,7 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                     target_block=tb,
                     source_block=sb,
                     interpret=interpret,
+                    compensated=config.compensated,
                 )
             if return_diagnostics:
                 import jax.numpy as jnp
@@ -122,6 +123,7 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                 direct_body_cap=config.direct_body_cap,
                 group_chunk=config.group_chunk,
                 return_diagnostics=return_diagnostics,
+                compensated=config.compensated,
             )
 
         return accel

@@ -52,10 +52,11 @@ def _allpairs_kernel(
     tgt_ref,  # (TB, 8) f32: cols [x, y, 0...]
     src_ref,  # (8, SB) f32: rows [x, y, g*m, 1, 0...]
     out_ref,  # (TB, 8) f32: cols [acc_x, acc_y, 0...]
-    acc_ref,  # VMEM scratch (TB, 8) f32 partial sums [Swx, Swy, _, Sw, ...]
+    acc_ref,  # VMEM scratch (TB, 8) f32: cols 0/1 = sums, 4/5 = Kahan comp
     *,
     softening: float,
     n_src_tiles: int,
+    compensated: bool = False,
 ):
     s = pl.program_id(1)
 
@@ -85,8 +86,28 @@ def _allpairs_kernel(
     # Per-target-row lane reduction of w * displacement (no cancellation:
     # each pair contributes w*dx directly, like the reference's
     # ``sum += factor * displacement``, main_approach_1.cpp:69-71).
-    acc_x = jnp.sum(w * dx, axis=1, keepdims=True)  # (TB, 1)
-    acc_y = jnp.sum(w * dy, axis=1, keepdims=True)
+    if compensated and w.shape[1] > 128:
+        # chunked Kahan within the tile: 128-lane tree sums chained with
+        # compensation, bounding the within-tile accumulation error at
+        # ~2 eps independent of SB
+        def _chunk_kahan(prod):
+            s_run = jnp.zeros_like(prod[:, 0:1])
+            c_run = jnp.zeros_like(s_run)
+            for i in range(prod.shape[1] // 128):
+                v = jnp.sum(
+                    prod[:, i * 128 : (i + 1) * 128], axis=1, keepdims=True
+                )
+                y = v - c_run
+                t = s_run + y
+                c_run = (t - s_run) - y
+                s_run = t
+            return s_run - c_run
+
+        acc_x = _chunk_kahan(w * dx)
+        acc_y = _chunk_kahan(w * dy)
+    else:
+        acc_x = jnp.sum(w * dx, axis=1, keepdims=True)  # (TB, 1)
+        acc_y = jnp.sum(w * dy, axis=1, keepdims=True)
 
     @pl.when(s == 0)
     def _init():
@@ -96,16 +117,36 @@ def _allpairs_kernel(
 
     @pl.when(s != 0)
     def _acc():
-        acc_ref[:, _SRC_X : _SRC_X + 1] = (
-            acc_ref[:, _SRC_X : _SRC_X + 1] + acc_x
-        )
-        acc_ref[:, _SRC_Y : _SRC_Y + 1] = (
-            acc_ref[:, _SRC_Y : _SRC_Y + 1] + acc_y
-        )
+        if compensated:
+            # Kahan-compensated cross-tile accumulation (SURVEY 7 "hard
+            # parts"): the per-tile partial sums form the long sequential
+            # chain (N / SB adds), so the running compensation lives in
+            # the spare scratch columns 4/5.
+            for col, v in ((_SRC_X, acc_x), (_SRC_Y, acc_y)):
+                s_prev = acc_ref[:, col : col + 1]
+                c = acc_ref[:, col + 4 : col + 5]
+                y = v - c
+                t = s_prev + y
+                acc_ref[:, col + 4 : col + 5] = (t - s_prev) - y
+                acc_ref[:, col : col + 1] = t
+        else:
+            acc_ref[:, _SRC_X : _SRC_X + 1] = (
+                acc_ref[:, _SRC_X : _SRC_X + 1] + acc_x
+            )
+            acc_ref[:, _SRC_Y : _SRC_Y + 1] = (
+                acc_ref[:, _SRC_Y : _SRC_Y + 1] + acc_y
+            )
 
     @pl.when(s == n_src_tiles - 1)
     def _epilogue():
         out_ref[:, :] = acc_ref[:, :]
+        if compensated:
+            # fold the residual compensation into the result
+            for col in (_SRC_X, _SRC_Y):
+                out_ref[:, col : col + 1] = (
+                    acc_ref[:, col : col + 1]
+                    - acc_ref[:, col + 4 : col + 5]
+                )
 
 
 @functools.partial(
@@ -116,6 +157,7 @@ def _allpairs_kernel(
         "target_block",
         "source_block",
         "interpret",
+        "compensated",
     ),
 )
 def allpairs_accelerations_vs(
@@ -128,6 +170,7 @@ def allpairs_accelerations_vs(
     target_block: int = 256,
     source_block: int = 1024,
     interpret: bool = False,
+    compensated: bool = False,
 ) -> jax.Array:
     """Accelerations of targets due to sources via the tiled kernel.
 
@@ -166,6 +209,7 @@ def allpairs_accelerations_vs(
         _allpairs_kernel,
         softening=float(softening),
         n_src_tiles=n_src_tiles,
+        compensated=compensated,
     )
 
     pairs = nt_pad * ns_pad
@@ -212,6 +256,7 @@ def allpairs_accelerations(
     target_block: int = 256,
     source_block: int = 1024,
     interpret: bool = False,
+    compensated: bool = False,
 ) -> jax.Array:
     """Single-cloud O(N^2) accelerations (targets == sources)."""
     return allpairs_accelerations_vs(
@@ -223,6 +268,7 @@ def allpairs_accelerations(
         target_block=target_block,
         source_block=source_block,
         interpret=interpret,
+        compensated=compensated,
     )
 
 

@@ -327,6 +327,7 @@ def _evaluate_pallas(
     *,
     g_const: float,
     softening: float,
+    compensated: bool = False,
 ):
     """Build the combined packed source list [G, 8, K] (approx cells +
     masked superblock bodies) in XLA — cheap, it is only the gathered data
@@ -398,6 +399,7 @@ def _evaluate_pallas(
         lens,
         softening=float(softening),
         section_offset=lx.shape[1],
+        compensated=compensated,
     )
     return acc[:, :, 0], acc[:, :, 1]
 
@@ -581,6 +583,7 @@ def _evaluate(
         "return_diagnostics",
         "use_pallas",
         "n_sub",
+        "compensated",
     ),
 )
 def bh_accelerations_grouped(
@@ -601,6 +604,7 @@ def bh_accelerations_grouped(
     return_diagnostics: bool = False,
     use_pallas: bool | None = None,
     n_sub: int | None = None,
+    compensated: bool = False,
 ):
     """Grouped Barnes-Hut accelerations [N, 2] (+ overflow [N] optional).
 
@@ -631,6 +635,7 @@ def bh_accelerations_grouped(
         target_codes=tree.codes,
         use_pallas=use_pallas,
         n_sub=n_sub,
+        compensated=compensated,
     )
 
 
@@ -655,6 +660,7 @@ def grouped_eval(
     target_codes: jax.Array | None = None,
     use_pallas: bool | None = None,
     n_sub: int | None = None,
+    compensated: bool = False,
 ):
     """Grouped evaluation of arbitrary targets against a prebuilt tree.
 
@@ -738,6 +744,7 @@ def grouped_eval(
             sorted_gm,
             g_const=g,
             softening=softening,
+            compensated=compensated,
         )
     else:
         cells = jnp.stack([lx, ly, lm], axis=-1)  # [G, L, 3]

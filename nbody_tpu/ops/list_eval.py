@@ -43,6 +43,7 @@ def _kernel(
     n_k_tiles,
     k_tile,
     section_offset,
+    compensated=False,
 ):
     i = pl.program_id(0)
     k = pl.program_id(1)
@@ -76,21 +77,37 @@ def _kernel(
         valid = (d2 > 0.0) & (gm > 0.0)
         d = jnp.sqrt(d2) + jnp.float32(softening)
         w = jnp.where(valid, gm / (jnp.where(valid, d2, 1.0) * d), 0.0)
-        acc_ref[:, 0:1] = acc_ref[:, 0:1] + jnp.sum(
-            w * dx, axis=1, keepdims=True
-        )
-        acc_ref[:, 1:2] = acc_ref[:, 1:2] + jnp.sum(
-            w * dy, axis=1, keepdims=True
-        )
+        vx = jnp.sum(w * dx, axis=1, keepdims=True)
+        vy = jnp.sum(w * dy, axis=1, keepdims=True)
+        if compensated:
+            # Kahan across k tiles; compensation in scratch cols 4/5
+            for col, v in ((0, vx), (1, vy)):
+                s_prev = acc_ref[:, col : col + 1]
+                c = acc_ref[:, col + 4 : col + 5]
+                y = v - c
+                t = s_prev + y
+                acc_ref[:, col + 4 : col + 5] = (t - s_prev) - y
+                acc_ref[:, col : col + 1] = t
+        else:
+            acc_ref[:, 0:1] = acc_ref[:, 0:1] + vx
+            acc_ref[:, 1:2] = acc_ref[:, 1:2] + vy
 
     @pl.when(k == n_k_tiles - 1)
     def _write():
         out_ref[0, :, :] = acc_ref[:, :]
+        if compensated:
+            for col in (0, 1):
+                out_ref[0, :, col : col + 1] = (
+                    acc_ref[:, col : col + 1]
+                    - acc_ref[:, col + 4 : col + 5]
+                )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softening", "section_offset", "k_tile", "interpret"),
+    static_argnames=(
+        "softening", "section_offset", "k_tile", "interpret", "compensated",
+    ),
 )
 def list_eval_pallas(
     targets: jax.Array,  # [G, S, 2] group body positions
@@ -103,6 +120,7 @@ def list_eval_pallas(
     section_offset: int,  # start of the second (direct) section in K
     k_tile: int = 2048,
     interpret: bool = False,
+    compensated: bool = False,
 ) -> jax.Array:
     """Accelerations [G, S, 2] of each group's bodies due to its list."""
     g, s, _ = targets.shape
@@ -156,6 +174,7 @@ def list_eval_pallas(
             n_k_tiles=n_k_tiles,
             k_tile=k_tile,
             section_offset=int(section_offset),
+            compensated=compensated,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g, s, 8), jnp.float32),

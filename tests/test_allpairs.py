@@ -108,3 +108,37 @@ def test_coincident_bodies_finite():
         )
     )
     assert np.isfinite(got).all()
+
+
+def test_compensated_accumulation_agrees():
+    """compensated=True (Kahan cross-tile + chunked within-tile) must stay
+    within the plain kernel's error budget vs the f64 oracle.  Measured:
+    XLA/Mosaic tree-reductions already bound the f32 accumulation error
+    at ~log(n)*eps, so the option buys no *measurable* accuracy on this
+    stack (documented in PERF.md with numbers) — this test pins the
+    semantics so the flag stays correct."""
+    masses, positions = _cloud(2048, seed=5)
+    truth = oracle.naive_accelerations(
+        positions.astype(np.float64), masses.astype(np.float64), g=G
+    )
+    kw = dict(
+        g=G, target_block=256, source_block=512, interpret=INTERPRET
+    )
+    plain = np.asarray(
+        allpairs_accelerations(
+            jnp.asarray(positions), jnp.asarray(masses), **kw
+        )
+    )
+    comp = np.asarray(
+        allpairs_accelerations(
+            jnp.asarray(positions), jnp.asarray(masses),
+            compensated=True, **kw
+        )
+    )
+    scale = np.linalg.norm(truth, axis=1) + 1e-30
+    e_plain = np.median(np.linalg.norm(plain - truth, axis=1) / scale)
+    e_comp = np.median(np.linalg.norm(comp - truth, axis=1) / scale)
+    assert e_comp < 1e-5
+    assert e_comp <= e_plain * 1.5  # never meaningfully worse
+    # the two paths agree to f32 rounding of the same quantity
+    assert np.abs(plain - comp).max() <= 1e-5 * np.abs(truth).max() + 1e-30
