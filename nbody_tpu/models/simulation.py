@@ -107,6 +107,10 @@ class Simulation:
         state = self.state
         timing = RunTiming()
         watch = Stopwatch()
+        if cfg.save_positions or cfg.save_tree_dumps or getattr(
+            cfg, "metrics_csv", None
+        ):
+            os.makedirs(cfg.output_dir or ".", exist_ok=True)
 
         writer = None
         if cfg.save_positions:

@@ -47,7 +47,19 @@ from ..config import (
     MAX_DEPTH_DEFAULT,
     THETA_DEFAULT,
 )
-from .tree import Quadtree, build_quadtree, level_cell_size, morton_codes
+from .tree import (
+    RAW_CNT,
+    RAW_M,
+    RAW_MX,
+    RAW_MY,
+    RAW_OCC,
+    RAW_SX,
+    RAW_SY,
+    Quadtree,
+    build_quadtree,
+    level_cell_size,
+    morton_codes,
+)
 
 
 _INT_MAX = jnp.int32(2**31 - 1)
@@ -185,26 +197,12 @@ def _collect_lists(
     max_depth = tree.max_depth
     overflow = jnp.zeros((g,), bool)
 
-    # Packed per-cell rows [4^l, 8]: [mass, comx, comy, count, child
-    # counts x4].  A row gather costs the same as a single-field gather on
-    # TPU (~7 ns/row, latency-bound), so packing turns five gathers per
-    # level (4 fields + pruning the children) into ONE.
-    packed = []
-    for level in range(max_depth + 1):
-        lv = tree.levels[level]
-        cnt_f = lv.count.astype(f32)
-        if level < max_depth:
-            ccnt = (
-                tree.levels[level + 1].count.astype(f32).reshape(-1, 4)
-            )
-        else:
-            ccnt = jnp.zeros((lv.count.shape[0], 4), f32)
-        packed.append(
-            jnp.stack(
-                [lv.mass, lv.comx, lv.comy, cnt_f], axis=1
-            ).astype(f32)
-        )
-        packed[-1] = jnp.concatenate([packed[-1], ccnt], axis=1)
+    # Per-cell packed rows come straight from the tree build
+    # (Quadtree.raw, cols per tree.RAW_*): a row gather costs the same as
+    # a single-field gather on TPU (~7 ns/row, latency-bound), so the
+    # traversal gathers whole raw rows and derives COM (division) and the
+    # child-occupancy prune bits from the gathered [G, F, 8] array — no
+    # per-level re-packing and no second gather into the child level.
 
     # per-cell body ranges in the Morton-sorted order: cumulative counts
     # over the finest level give [start, end) for any cell at any level
@@ -224,12 +222,19 @@ def _collect_lists(
     for level in range(max_depth + 1):
         valid = frontier >= 0
         idx = jnp.where(valid, frontier, 0)
-        rows = packed[level][idx]  # [G, F, 8] — the one gather
-        m = rows[..., 0]
-        cx = rows[..., 1]
-        cy = rows[..., 2]
-        cnt = rows[..., 3]
+        rows = tree.raw[level][idx]  # [G, F, 8] — the one gather
+        m = rows[..., RAW_M]
+        cnt = rows[..., RAW_CNT]
         one = jnp.asarray(1.0, f32)
+        # COM derived post-gather (cheap: [G, F] not [4^l]); singleton
+        # cells take the exact position sum (see tree.leaf_raw)
+        safe = jnp.where(m > 0, m, one)
+        cx = jnp.where(
+            cnt == one, rows[..., RAW_SX], rows[..., RAW_MX] / safe
+        )
+        cy = jnp.where(
+            cnt == one, rows[..., RAW_SY], rows[..., RAW_MY] / safe
+        )
 
         # distance from each sub-bbox to the cell COM (0 if inside); the
         # binding bound is the minimum over sub-boxes
@@ -278,11 +283,13 @@ def _collect_lists(
         children = (
             idx[:, :, None] * 4 + jnp.arange(4, dtype=jnp.int32)
         ).reshape(g, -1)
-        # children pruned by the child counts delivered in the packed row
-        # — no extra gather
-        cmask = jnp.repeat(open_, 4, axis=1) & (
-            rows[..., 4:8].reshape(g, -1) > 0
-        )
+        # children pruned by the occupancy bits delivered in the parent's
+        # own raw row — no extra gather
+        occ = rows[..., RAW_OCC].astype(jnp.int32)
+        child_bits = (
+            (occ[:, :, None] >> jnp.arange(4, dtype=jnp.int32)) & 1
+        ).reshape(g, -1)
+        cmask = jnp.repeat(open_, 4, axis=1) & (child_bits > 0)
 
         next_cap = min(4 * fcap, frontier_caps[level + 1])
         (nf,), ovf = _sort_compact(
@@ -378,10 +385,14 @@ def _evaluate_pallas(
         [jnp.asarray(g_const, f32) * lm, dws], axis=1
     )
     k = src_x.shape[1]
-    src = jnp.zeros((g_groups, 8, k), f32)
-    src = src.at[:, 0, :].set(src_x)
-    src = src.at[:, 1, :].set(src_y)
-    src = src.at[:, 2, :].set(src_w)
+    # one concatenate instead of three dynamic-update-slices into zeros
+    # (each DUS re-touches the whole [G, 8, K] buffer)
+    zero = jnp.zeros((g_groups, 1, k), f32)
+    src = jnp.concatenate(
+        [src_x[:, None, :], src_y[:, None, :], src_w[:, None, :]]
+        + [zero] * 5,
+        axis=1,
+    )
 
     # occupied lengths of the two left-compacted sections (emitted approx
     # cells always have mass > 0; valid superblocks have sb_idx >= 0)
@@ -612,15 +623,21 @@ def bh_accelerations_grouped(
     defaults with ~2x headroom; the overflow flag guards the rest)."""
     f32 = positions.dtype
     tree = build_quadtree(positions, masses, max_depth=max_depth)
-    # source bodies in Morton order (what direct ranges index into)
+    # source bodies in Morton order (what direct ranges index into); ONE
+    # packed [N, 4] row gather instead of separate position/mass gathers
+    # (row gathers are latency-bound: width is free, rows are not)
     src_order = jnp.argsort(tree.codes)
-    psort = positions[src_order]
+    packed = jnp.concatenate(
+        [positions, masses[:, None], jnp.zeros_like(masses)[:, None]],
+        axis=1,
+    )
+    psort = packed[src_order]
     return grouped_eval(
         positions,
         tree,
         sorted_x=psort[:, 0],
         sorted_y=psort[:, 1],
-        sorted_gm=jnp.asarray(g, f32) * masses[src_order],
+        sorted_gm=jnp.asarray(g, f32) * psort[:, 2],
         g=g,
         theta=theta,
         softening=softening,
@@ -633,6 +650,8 @@ def bh_accelerations_grouped(
         group_chunk=group_chunk,
         return_diagnostics=return_diagnostics,
         target_codes=tree.codes,
+        target_sorted=psort[:, 0:2],
+        target_order=src_order,
         use_pallas=use_pallas,
         n_sub=n_sub,
         compensated=compensated,
@@ -658,6 +677,8 @@ def grouped_eval(
     group_chunk: int = 8,
     return_diagnostics: bool = False,
     target_codes: jax.Array | None = None,
+    target_sorted: jax.Array | None = None,
+    target_order: jax.Array | None = None,
     use_pallas: bool | None = None,
     n_sub: int | None = None,
     compensated: bool = False,
@@ -689,11 +710,15 @@ def grouped_eval(
 
     # sort targets by Morton code so groups are spatially compact; pad to
     # a group multiple with copies of the last body (tight trailing bbox;
-    # padded results are sliced off)
-    order = jnp.argsort(target_codes)
+    # padded results are sliced off).  Callers that already hold the
+    # sorted targets (bh_accelerations_grouped: targets == sources) pass
+    # them in to skip a redundant 64K-row gather.
+    order = jnp.argsort(target_codes) if target_order is None else target_order
     gs = min(group_size, max(n, 1))
     n_pad = ((n + gs - 1) // gs) * gs
-    tsort = target_positions[order]
+    tsort = (
+        target_positions[order] if target_sorted is None else target_sorted
+    )
     tsort = jnp.concatenate(
         [tsort, jnp.broadcast_to(tsort[-1], (n_pad - n, 2))], axis=0
     )
@@ -760,12 +785,12 @@ def grouped_eval(
             group_chunk=group_chunk,
         )
 
+    # un-sort with ONE scatter (acc[order] = acc_sorted) instead of
+    # building the inverse permutation (a scatter) plus a gather
     acc_sorted = jnp.stack([ax.reshape(-1), ay.reshape(-1)], axis=-1)[:n]
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32)
-    )
-    acc = acc_sorted[inv]
+    acc = jnp.zeros((n, 2), acc_sorted.dtype).at[order].set(acc_sorted)
     if return_diagnostics:
         ovf_sorted = jnp.repeat(overflow_g, gs)[:n]
-        return acc, ovf_sorted[inv]
+        ovf = jnp.zeros((n,), bool).at[order].set(ovf_sorted)
+        return acc, ovf
     return acc

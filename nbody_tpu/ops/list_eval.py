@@ -6,15 +6,19 @@ tile shape as the all-pairs kernel (allpairs.py) with a third leading grid
 dimension over groups.  Evaluating it in XLA materialises [chunk, S, K]
 HBM temporaries; this kernel streams list tiles through VMEM instead:
 
-  grid (G, K/K_TILE): each step loads the group's body block (S, 8) and a
-  list tile (8, K_TILE), computes w = gm / (d2 * (d + eps)) on the VPU and
-  accumulates sum(w * disp) per body into VMEM scratch; the final k step
-  writes the block's accelerations.
+  grid (G, S/S_TILE, K/K_TILE): each step loads a (S_TILE, 8) body block
+  and an (8, K_TILE) list tile, computes w = gm / (d2 * (d + eps)) on the
+  VPU and accumulates sum(w * disp) per body into VMEM scratch; the final
+  k step writes the block's accelerations.
 
 List lengths vary per group while K is the static cap; lists are
-left-compacted, so a per-(group, tile) occupancy flag (scalar-prefetched)
-lets fully-empty tiles skip the pairwise compute — the dominant cost at
-typical ~4-8x padding ratios.
+left-compacted into two sections (approx cells, direct bodies), so the
+prefetched per-group section lengths drive BOTH a compute skip and a DMA
+skip: the source-block index map clamps out-of-occupancy tiles to the
+last occupied tile index, and the Pallas pipeline elides the copy when
+the block index is unchanged — a padding tile costs neither FLOPs nor
+HBM traffic.  This is the TPU analogue of the reference's occupancy gate
+(project.cu:971-974): resources are spent only on resident, useful data.
 
 Semantics are the Barnes-Hut accepted-node force (project.cu:651-658,
 765-771): softened direction, unsoftened magnitude denominator, with the
@@ -25,11 +29,18 @@ COMs / raw body positions, see bh_grouped.py).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# VMEM working-set budget for the ~3 live (S_TILE, K_TILE) f32 temporaries
+# (same n_live_tiles=3 x 0.75 discipline as utils/occupancy.allpairs_tiles;
+# (512, 2048) compiles, (1024, 2048) does not).
+_VMEM_BUDGET = 12 * 1024 * 1024
+_LIVE = 3
 
 
 def _kernel(
@@ -46,7 +57,7 @@ def _kernel(
     compensated=False,
 ):
     i = pl.program_id(0)
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
@@ -54,7 +65,10 @@ def _kernel(
 
     # The list has two left-compacted sections: approx cells in
     # [0, a_n) and direct bodies in [section_offset, section_offset + d_n).
-    # A tile only needs compute if it overlaps either occupied span.
+    # A tile only needs compute if it overlaps either occupied span.  The
+    # source index map (below) already clamps non-occupied tiles to a
+    # previously fetched block, so this guard must stay in exact sync with
+    # the map: computing on a clamped (stale) block would double-count.
     a_n = lens_ref[0, i]
     d_n = lens_ref[1, i]
     start = k * k_tile
@@ -65,18 +79,23 @@ def _kernel(
 
     @pl.when(occupied)
     def _compute():
-        tx = tgt_ref[0, :, 0:1]  # (S, 1)
+        tx = tgt_ref[0, :, 0:1]  # (S_TILE, 1)
         ty = tgt_ref[0, :, 1:2]
         sx = src_ref[0, 0:1, :]  # (1, K_TILE)
         sy = src_ref[0, 1:2, :]
         gm = src_ref[0, 2:3, :]
 
-        dx = sx - tx  # (S, K_TILE)
+        dx = sx - tx  # (S_TILE, K_TILE)
         dy = sy - ty
         d2 = dx * dx + dy * dy
         valid = (d2 > 0.0) & (gm > 0.0)
-        d = jnp.sqrt(d2) + jnp.float32(softening)
-        w = jnp.where(valid, gm / (jnp.where(valid, d2, 1.0) * d), 0.0)
+        # rsqrt-based softened factoring, bit-matching allpairs.py: padded
+        # lanes produce NaN (rsqrt(0)) that the where() kills.
+        inv_d = jax.lax.rsqrt(d2)
+        d = d2 * inv_d
+        w = jnp.where(
+            valid, gm / (d2 * (d + jnp.float32(softening))), 0.0
+        )
         vx = jnp.sum(w * dx, axis=1, keepdims=True)
         vy = jnp.sum(w * dy, axis=1, keepdims=True)
         if compensated:
@@ -106,7 +125,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "softening", "section_offset", "k_tile", "interpret", "compensated",
+        "softening", "section_offset", "k_tile", "s_tile", "interpret",
+        "compensated",
     ),
 )
 def list_eval_pallas(
@@ -118,53 +138,85 @@ def list_eval_pallas(
     *,
     softening: float,
     section_offset: int,  # start of the second (direct) section in K
-    k_tile: int = 2048,
+    k_tile: int = 1536,
+    s_tile: int = 512,
     interpret: bool = False,
     compensated: bool = False,
 ) -> jax.Array:
     """Accelerations [G, S, 2] of each group's bodies due to its list."""
     g, s, _ = targets.shape
-    # VMEM gate (the occupancy-model discipline, utils/occupancy.py): the
-    # kernel materialises ~3 (S, K_TILE) f32 temporaries plus blocks, so
-    # clamp the tile for large group sizes.
-    budget = 10 * 1024 * 1024
-    k_tile_max = (budget // (s * 4 * 3)) // 128 * 128
-    if k_tile_max < 128:
-        # even a one-lane-wide tile busts the budget; a silent over-budget
-        # tile would spill or fail inside Mosaic with a cryptic error
+    # Target tile: the all-pairs kernel's measured-best target block is 512
+    # (occupancy.allpairs_tiles); small groups use one tile.
+    if s % s_tile:
+        s_tile = s if s < s_tile else math.gcd(s, s_tile)
+    # K tile: must divide section_offset (tiles may not straddle the two
+    # sections — the occupancy test is per-section) and respect the VMEM
+    # live-temporary budget.
+    k_tile = min(k_tile, max(128, _VMEM_BUDGET // (_LIVE * s_tile * 4)))
+    k_tile = k_tile // 128 * 128
+    if k_tile < 128:
         raise ValueError(
-            f"group size {s} too large for the {budget // 2**20} MB VMEM "
-            "budget (needs s <= "
-            f"{budget // (128 * 4 * 3)}); reduce group_size"
+            f"target tile {s_tile} too large for the "
+            f"{_VMEM_BUDGET // 2**20} MB VMEM budget; reduce s_tile"
         )
-    k_tile = min(k_tile, k_tile_max)
+    if section_offset % k_tile:
+        k_tile = math.gcd(section_offset, k_tile)
+        if k_tile % 128:
+            raise ValueError(
+                f"section_offset {section_offset} not tileable (need a "
+                "multiple of 128 that also divides it); pad the approx "
+                "section"
+            )
     k = sources.shape[2]
     if k % k_tile:
         pad = k_tile - k % k_tile
         sources = jnp.pad(sources, ((0, 0), (0, 0), (0, pad)))
         k += pad
     n_k_tiles = k // k_tile
+    n_s_tiles = s // s_tile
+    off_tile = section_offset // k_tile
 
     tgt = jnp.zeros((g, s, 8), jnp.float32).at[:, :, 0:2].set(targets)
 
+    def _src_map(i, si, j, lens_ref):
+        # Clamp non-occupied tiles to the last occupied tile at or before
+        # j, so the pipeline sees an unchanged block index and skips the
+        # DMA (grid iterates j fastest => the clamped index was already
+        # fetched).  Must mirror the kernel's `occupied` predicate.
+        a_t = (lens_ref[0, i] + k_tile - 1) // k_tile  # occupied approx tiles
+        d_t = (lens_ref[1, i] + k_tile - 1) // k_tile  # occupied direct tiles
+        last_a = jnp.maximum(a_t - 1, 0)
+        last_d = jnp.where(d_t > 0, off_tile + d_t - 1, last_a)
+        j_eff = jnp.where(
+            j < a_t,
+            j,
+            jnp.where(
+                j < off_tile,
+                last_a,
+                jnp.where((j < off_tile + d_t), j, last_d),
+            ),
+        )
+        return (i, 0, j_eff)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(g, n_k_tiles),
+        grid=(g, n_s_tiles, n_k_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, s, 8), lambda i, j, *_: (i, 0, 0),
+                (1, s_tile, 8), lambda i, si, j, *_: (i, si, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 8, k_tile),
-                lambda i, j, *_: (i, 0, j),
+                _src_map,
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, s, 8), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, s_tile, 8), lambda i, si, j, *_: (i, si, 0),
+            memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((s, 8), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s_tile, 8), jnp.float32)],
     )
 
     out = pl.pallas_call(
@@ -179,7 +231,7 @@ def list_eval_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g, s, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=12 * g * s * k,

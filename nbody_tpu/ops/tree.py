@@ -48,10 +48,22 @@ class TreeLevel(NamedTuple):
     count: jax.Array  # [4^level] int32 bodies per cell
 
 
+# Column layout of the packed per-level "raw" rows [4^level, 8].  The
+# raw rows are the hot-path representation: one 8-wide row gather / scatter
+# costs the same as a 1-wide one on TPU (latency-bound), so the traversal
+# gathers whole rows and derives COM (division) *after* the gather, on the
+# small [groups, frontier] arrays.  OCC holds the 4 child-occupancy bits
+# (value 0..15, exact in f32), replacing a second child-count gather.
+RAW_M, RAW_MX, RAW_MY, RAW_SX, RAW_SY, RAW_CNT, RAW_OCC, RAW_PAD = range(8)
+
+
 class Quadtree(NamedTuple):
     levels: Tuple[TreeLevel, ...]  # levels[0] = root .. levels[max_depth]
     bounds: jax.Array  # [4] x_min, x_max, y_min, y_max (padded root box)
     codes: jax.Array  # [N] int32 leaf-cell Morton code per body
+    raw: Tuple[jax.Array, ...] = ()  # packed [4^level, 8] rows per level
+    #   (cols per RAW_*); the TreeLevel views above are derived slices that
+    #   XLA dead-code-eliminates when a consumer only touches ``raw``
 
     @property
     def max_depth(self) -> int:
@@ -101,36 +113,117 @@ def morton_codes(
     return code
 
 
+def leaf_raw(
+    positions: jax.Array,
+    masses: jax.Array,
+    codes: jax.Array,
+    max_depth: int,
+) -> jax.Array:
+    """Packed per-leaf-cell aggregate rows [4^max_depth, 8] via ONE
+    scatter-add — the parallel-insert replacement for QuadInsert.
+
+    TPU scatters are latency-bound per row (measured ~0.54 ms per 1-wide
+    segment_sum at N=64K regardless of width), so the six fields
+    (mass, mass*x, mass*y, x, y, count — cols per RAW_*) ride one 8-wide
+    row scatter instead of six scatters.  Each device computes this over
+    its *local* bodies; a single psum of the one array over the mesh
+    yields the global tree (see nbody_tpu.parallel).
+
+    The unweighted position sums (RAW_SX/RAW_SY) exist so that a cell
+    containing exactly one body gets a COM *bit-equal* to that body's
+    position (the weighted m*x/m round-trip is not exact in f32):
+    singleton cells then self-exclude in interaction kernels via the
+    d2 > 0 guard, replacing the reference's occupant-index bookkeeping
+    (project.cu:646)."""
+    n_leaf = 4**max_depth
+    x = positions[:, 0]
+    y = positions[:, 1]
+    packed = jnp.stack(
+        [
+            masses,
+            masses * x,
+            masses * y,
+            x,
+            y,
+            jnp.ones(codes.shape, masses.dtype),
+            jnp.zeros(codes.shape, masses.dtype),
+            jnp.zeros(codes.shape, masses.dtype),
+        ],
+        axis=1,
+    )  # [N, 8]
+    return jax.ops.segment_sum(packed, codes, num_segments=n_leaf)
+
+
 def leaf_aggregates(
     positions: jax.Array,
     masses: jax.Array,
     codes: jax.Array,
     max_depth: int,
 ):
-    """Per-leaf-cell (mass, mass*x, mass*y, x, y, count) via one
-    segment-sum each — the parallel-insert replacement for QuadInsert.
-    Each device computes this over its *local* bodies; a psum over the
-    mesh yields the global tree (see nbody_tpu.parallel).
+    """Unpacked view of :func:`leaf_raw` (compat shim for callers that
+    want individual field arrays)."""
+    agg = leaf_raw(positions, masses, codes, max_depth)
+    return (
+        agg[:, RAW_M],
+        agg[:, RAW_MX],
+        agg[:, RAW_MY],
+        agg[:, RAW_SX],
+        agg[:, RAW_SY],
+        agg[:, RAW_CNT].astype(jnp.int32),
+    )
 
-    The unweighted position sums (x, y) exist so that a cell containing
-    exactly one body gets a COM *bit-equal* to that body's position (the
-    weighted m*x/m round-trip is not exact in f32): singleton cells then
-    self-exclude in interaction kernels via the d2 > 0 guard, replacing
-    the reference's occupant-index bookkeeping (project.cu:646)."""
-    n_leaf = 4**max_depth
-    m = jax.ops.segment_sum(masses, codes, num_segments=n_leaf)
-    mx = jax.ops.segment_sum(
-        masses * positions[:, 0], codes, num_segments=n_leaf
+
+def _finish_level(raw: jax.Array, dtype) -> TreeLevel:
+    """Derive the unpacked TreeLevel view from packed raw rows.
+
+    Pure slices + elementwise work: XLA dead-code-eliminates it for
+    consumers that traverse ``Quadtree.raw`` directly (the grouped
+    engine divides after its row gathers instead)."""
+    m = raw[:, RAW_M]
+    cnt = raw[:, RAW_CNT].astype(jnp.int32)
+    safe = jnp.where(m > 0, m, 1.0).astype(dtype)
+    # exact position for singleton cells (sums of a single term are
+    # exact at every level of the chain)
+    comx = jnp.where(
+        cnt == 1, raw[:, RAW_SX], raw[:, RAW_MX] / safe
+    ).astype(dtype)
+    comy = jnp.where(
+        cnt == 1, raw[:, RAW_SY], raw[:, RAW_MY] / safe
+    ).astype(dtype)
+    return TreeLevel(mass=m.astype(dtype), comx=comx, comy=comy, count=cnt)
+
+
+def pyramid_from_raw(
+    raw: jax.Array,
+    bounds: jax.Array,
+    codes: jax.Array,
+    max_depth: int,
+    dtype=jnp.float32,
+) -> Quadtree:
+    """4->1 reductions up the pyramid (replaces recursive ComputeMass).
+
+    Each reduction also packs the 4 child-occupancy bits into RAW_OCC of
+    the parent row, so the traversal can prune empty children from the
+    parent's own gathered row (no second gather into the child level)."""
+    raws: List[jax.Array] = [raw]
+    for _ in range(max_depth):
+        v = raw.reshape(-1, 4, 8)
+        sums = v.sum(axis=1)  # [C, 8]
+        occ = jnp.sum(
+            (v[:, :, RAW_CNT] > 0)
+            * jnp.asarray([1.0, 2.0, 4.0, 8.0], raw.dtype),
+            axis=1,
+        )  # [C] child-occupancy bits, exact in f32 (<= 15)
+        raw = jnp.concatenate(
+            [sums[:, :RAW_OCC], occ[:, None], jnp.zeros_like(occ[:, None])],
+            axis=1,
+        )
+        raws.append(raw)
+    raws.reverse()  # root first
+    levels = tuple(_finish_level(r, dtype) for r in raws)
+    return Quadtree(
+        levels=levels, bounds=bounds, codes=codes, raw=tuple(raws)
     )
-    my = jax.ops.segment_sum(
-        masses * positions[:, 1], codes, num_segments=n_leaf
-    )
-    sx = jax.ops.segment_sum(positions[:, 0], codes, num_segments=n_leaf)
-    sy = jax.ops.segment_sum(positions[:, 1], codes, num_segments=n_leaf)
-    cnt = jax.ops.segment_sum(
-        jnp.ones(codes.shape, jnp.int32), codes, num_segments=n_leaf
-    )
-    return m, mx, my, sx, sy, cnt
 
 
 def pyramid_from_leaves(
@@ -145,29 +238,21 @@ def pyramid_from_leaves(
     max_depth: int,
     dtype=jnp.float32,
 ) -> Quadtree:
-    """4->1 reductions up the pyramid (replaces recursive ComputeMass)."""
-
-    def finish(m, mx, my, sx, sy, cnt) -> TreeLevel:
-        safe = jnp.where(m > 0, m, 1.0).astype(dtype)
-        # exact position for singleton cells (sums of a single term are
-        # exact at every level of the chain)
-        comx = jnp.where(cnt == 1, sx, (mx / safe)).astype(dtype)
-        comy = jnp.where(cnt == 1, sy, (my / safe)).astype(dtype)
-        return TreeLevel(
-            mass=m.astype(dtype), comx=comx, comy=comy, count=cnt
-        )
-
-    levels: List[TreeLevel] = [finish(m, mx, my, sx, sy, cnt)]
-    for _ in range(max_depth):
-        m = m.reshape(-1, 4).sum(axis=1)
-        mx = mx.reshape(-1, 4).sum(axis=1)
-        my = my.reshape(-1, 4).sum(axis=1)
-        sx = sx.reshape(-1, 4).sum(axis=1)
-        sy = sy.reshape(-1, 4).sum(axis=1)
-        cnt = cnt.reshape(-1, 4).sum(axis=1)
-        levels.append(finish(m, mx, my, sx, sy, cnt))
-    levels.reverse()  # root first
-    return Quadtree(levels=tuple(levels), bounds=bounds, codes=codes)
+    """Compat shim: pack unpacked leaf fields and build the raw pyramid."""
+    raw = jnp.stack(
+        [
+            m,
+            mx,
+            my,
+            sx,
+            sy,
+            cnt.astype(m.dtype),
+            jnp.zeros_like(m),
+            jnp.zeros_like(m),
+        ],
+        axis=1,
+    )
+    return pyramid_from_raw(raw, bounds, codes, max_depth, dtype=dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth",))
@@ -177,16 +262,14 @@ def build_quadtree(
     max_depth: int = MAX_DEPTH_DEFAULT,
     bounds: jax.Array | None = None,
 ) -> Quadtree:
-    """Whole-tree build as segment-sums + 4->1 reductions (no recursion)."""
+    """Whole-tree build as one packed scatter + 4->1 reductions (no
+    recursion)."""
     if bounds is None:
         bounds = root_bounds(positions)
     codes = morton_codes(positions, bounds, max_depth)
-    m, mx, my, sx, sy, cnt = leaf_aggregates(
-        positions, masses, codes, max_depth
-    )
-    return pyramid_from_leaves(
-        m, mx, my, sx, sy, cnt, bounds, codes, max_depth,
-        dtype=positions.dtype,
+    raw = leaf_raw(positions, masses, codes, max_depth)
+    return pyramid_from_raw(
+        raw, bounds, codes, max_depth, dtype=positions.dtype
     )
 
 

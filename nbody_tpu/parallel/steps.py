@@ -40,9 +40,9 @@ from jax import shard_map
 from ..config import SimConfig
 from ..ops.barnes_hut import traverse_accelerations
 from ..ops.tree import (
-    leaf_aggregates,
+    leaf_raw,
     morton_codes,
-    pyramid_from_leaves,
+    pyramid_from_raw,
 )
 from ..state import SimState
 
@@ -219,16 +219,14 @@ def make_dp_barnes_hut_step(config: SimConfig, mesh: Mesh) -> Callable:
         )
 
         codes = morton_codes(positions, bounds, max_depth)
-        m, mx, my, sx, sy, cnt = leaf_aggregates(
-            positions, masses, codes, max_depth
+        # ONE psum of the packed [4^d, 8] leaf rows replicates the global
+        # leaf aggregates (raw sums — including counts — are additive
+        # across shards; occupancy bits are derived after the psum)
+        raw = jax.lax.psum(
+            leaf_raw(positions, masses, codes, max_depth), axis
         )
-        # one fused psum replicates the global leaf aggregates
-        m, mx, my, sx, sy, cnt = jax.lax.psum(
-            (m, mx, my, sx, sy, cnt), axis
-        )
-        tree = pyramid_from_leaves(
-            m, mx, my, sx, sy, cnt, bounds, codes, max_depth,
-            dtype=positions.dtype,
+        tree = pyramid_from_raw(
+            raw, bounds, codes, max_depth, dtype=positions.dtype
         )
         acc, _ = traverse_accelerations(
             positions,
