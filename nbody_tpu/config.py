@@ -145,7 +145,7 @@ class SimConfig:
     direct_cap: Optional[int] = None
     direct_cell_max: int = 32
     direct_body_cap: Optional[int] = None
-    group_chunk: int = 8
+    group_chunk: int = 32
 
     # Parallelism.
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)

@@ -611,7 +611,7 @@ def bh_accelerations_grouped(
     direct_cap: int | None = None,
     direct_cell_max: int = 32,
     direct_body_cap: int | None = None,
-    group_chunk: int = 8,
+    group_chunk: int = 32,
     return_diagnostics: bool = False,
     use_pallas: bool | None = None,
     n_sub: int | None = None,
@@ -674,7 +674,7 @@ def grouped_eval(
     direct_cap: int | None = None,
     direct_cell_max: int = 32,
     direct_body_cap: int | None = None,
-    group_chunk: int = 8,
+    group_chunk: int = 32,
     return_diagnostics: bool = False,
     target_codes: jax.Array | None = None,
     target_sorted: jax.Array | None = None,

@@ -144,6 +144,12 @@ def list_eval_pallas(
     compensated: bool = False,
 ) -> jax.Array:
     """Accelerations [G, S, 2] of each group's bodies due to its list."""
+    if jax.config.jax_enable_x64 and not interpret:
+        raise ValueError(
+            "list_eval_pallas requires jax_enable_x64=False (TPU Mosaic "
+            "has no int64/f64 lowering); for f64 physics use the NumPy "
+            "oracle (nbody_tpu.models.oracle) or the native C++ engine"
+        )
     g, s, _ = targets.shape
     # Target tile: the all-pairs kernel's measured-best target block is 512
     # (occupancy.allpairs_tiles); small groups use one tile.
@@ -183,8 +189,12 @@ def list_eval_pallas(
         # j, so the pipeline sees an unchanged block index and skips the
         # DMA (grid iterates j fastest => the clamped index was already
         # fetched).  Must mirror the kernel's `occupied` predicate.
-        a_t = (lens_ref[0, i] + k_tile - 1) // k_tile  # occupied approx tiles
-        d_t = (lens_ref[1, i] + k_tile - 1) // k_tile  # occupied direct tiles
+        # int32 throughout: under jax_enable_x64 the Python-int literals
+        # would otherwise promote to int64, which Mosaic cannot lower.
+        kt = jnp.int32(k_tile)
+        j = jnp.asarray(j, jnp.int32)
+        a_t = (lens_ref[0, i] + kt - 1) // kt  # occupied approx tiles
+        d_t = (lens_ref[1, i] + kt - 1) // kt  # occupied direct tiles
         last_a = jnp.maximum(a_t - 1, 0)
         last_d = jnp.where(d_t > 0, off_tile + d_t - 1, last_a)
         j_eff = jnp.where(

@@ -193,6 +193,24 @@ def _finish_level(raw: jax.Array, dtype) -> TreeLevel:
     return TreeLevel(mass=m.astype(dtype), comx=comx, comy=comy, count=cnt)
 
 
+def _reduction_matrix(dtype) -> jax.Array:
+    """[64, 8] matrix encoding one pyramid 4->1 reduction as a matmul.
+
+    Input row (per parent cell): [child rows flattened (4x8) | (>0) mask
+    of the same 32 values].  Output: summed fields 0..5, child-occupancy
+    bits (RAW_OCC), zero pad.  One MXU matvec replaces the
+    slice + reduce + concat chain, which on TPU pays the 16x lane padding
+    of [cells, 8] arrays at every intermediate."""
+    import numpy as np
+
+    w = np.zeros((64, 8), dtype=np.float64)
+    for j in range(4):
+        for f in (RAW_M, RAW_MX, RAW_MY, RAW_SX, RAW_SY, RAW_CNT):
+            w[j * 8 + f, f] = 1.0
+        w[32 + j * 8 + RAW_CNT, RAW_OCC] = float(1 << j)
+    return jnp.asarray(w, dtype)
+
+
 def pyramid_from_raw(
     raw: jax.Array,
     bounds: jax.Array,
@@ -204,19 +222,20 @@ def pyramid_from_raw(
 
     Each reduction also packs the 4 child-occupancy bits into RAW_OCC of
     the parent row, so the traversal can prune empty children from the
-    parent's own gathered row (no second gather into the child level)."""
+    parent's own gathered row (no second gather into the child level).
+    The reduction is one HIGHEST-precision matmul per level (see
+    _reduction_matrix); singleton-cell position sums stay exact because
+    their chains only ever add zeros."""
+    w = _reduction_matrix(raw.dtype)
     raws: List[jax.Array] = [raw]
     for _ in range(max_depth):
-        v = raw.reshape(-1, 4, 8)
-        sums = v.sum(axis=1)  # [C, 8]
-        occ = jnp.sum(
-            (v[:, :, RAW_CNT] > 0)
-            * jnp.asarray([1.0, 2.0, 4.0, 8.0], raw.dtype),
-            axis=1,
-        )  # [C] child-occupancy bits, exact in f32 (<= 15)
-        raw = jnp.concatenate(
-            [sums[:, :RAW_OCC], occ[:, None], jnp.zeros_like(occ[:, None])],
-            axis=1,
+        v = raw.reshape(-1, 32)
+        b = jnp.concatenate([v, (v > 0).astype(raw.dtype)], axis=1)
+        raw = jax.lax.dot_general(
+            b,
+            w,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
         )
         raws.append(raw)
     raws.reverse()  # root first
