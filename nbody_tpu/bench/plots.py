@@ -53,6 +53,55 @@ def trajectories(positions_file: str, out_png: str | None = None,
     return out
 
 
+def trajectories_3d(positions_file: str, out_png: str | None = None,
+                    max_bodies: int = 500):
+    """Working 3D trajectory plot — the reference's plot_3d.py consumes
+    the same five-column ``time body x y z`` file but is non-functional
+    as committed (expects plotly, calls plt.savefig without importing
+    matplotlib, plot_3d.py:1/49); this is the functional equivalent,
+    vectorised and matplotlib-only.  Per-body polylines colored by body,
+    final positions marked."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..utils.textio import read_positions_file
+
+    data = read_positions_file(positions_file)
+    if data.shape[1] < 5:
+        raise ValueError(
+            f"{positions_file} has {data.shape[1]} columns; 3D plotting "
+            "needs the five-column 'time body x y z' schema (run with "
+            "--dims 3 --save-positions)"
+        )
+    bodies = data[:, 1].astype(int)
+    n = bodies.max() + 1
+    steps = len(data) // n
+    xyz = data[:, 2:5].reshape(steps, n, 3)
+
+    shown = min(n, max_bodies)
+    fig = plt.figure(figsize=(9, 9))
+    ax = fig.add_subplot(projection="3d")
+    for b in range(shown):
+        ax.plot(
+            xyz[:, b, 0], xyz[:, b, 1], xyz[:, b, 2],
+            linewidth=0.5, alpha=0.6,
+        )
+    ax.scatter(
+        xyz[-1, :shown, 0], xyz[-1, :shown, 1], xyz[-1, :shown, 2],
+        s=4, color="red", depthshade=False,
+    )
+    ax.set_title("3D N-Body Problem Visualization")
+    ax.set_xlabel("X Coordinate")
+    ax.set_ylabel("Y Coordinate")
+    ax.set_zlabel("Z Coordinate")
+    out = out_png or "plot_3d.png"
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
 def quadtree(dump_file: str, out_png: str | None = None):
     """plot_quadtree.py equivalent using a LineCollection (fast at 350K
     nodes)."""

@@ -25,6 +25,11 @@ import numpy as np
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n-bodies", type=int, default=1024)
+    p.add_argument("--dims", type=int, choices=[2, 3], default=2,
+                   help="spatial dimensions: 2 = reference parity "
+                        "(N_DIM=2, project.cu:28); 3 = the octree "
+                        "generalisation its report names "
+                        "(project_report.pdf p.8)")
     p.add_argument("--steps", type=int, default=10,
                    help="N_SIMULATIONS analogue (project.cu:9-11)")
     p.add_argument("--dt", type=float, default=1.0)
@@ -95,7 +100,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--mode",
         choices=["auto", "dp_allpairs", "ring_allpairs", "dp_barnes_hut",
-                 "dp_barnes_hut_grouped", "dp2d_allpairs"],
+                 "dp_barnes_hut_grouped", "dp_barnes_hut_grouped3",
+                 "dp2d_allpairs"],
         default="auto",
         help="sharded step selection when --devices > 1",
     )
@@ -106,6 +112,7 @@ def _build_config(args):
 
     return SimConfig(
         n_bodies=args.n_bodies,
+        n_dim=getattr(args, "dims", 2),
         n_steps=args.steps,
         dt=args.dt,
         g=args.g,
@@ -148,6 +155,7 @@ def _make_state(args, config):
             os.path.join(args.load_init, "positions_init.txt"),
             os.path.join(args.load_init, "velocities_init.txt"),
             args.n_bodies,
+            n_dim=getattr(args, "dims", 2),
         )
         return make_state(m, p, v, dtype=config.jnp_dtype())
     return random_state(config)
@@ -174,10 +182,23 @@ def cmd_run(args) -> int:
 
         mode = args.mode
         if mode == "auto":
-            mode = (
-                "dp_barnes_hut_grouped" if args.engine == "barnes_hut"
-                else "dp_allpairs"
+            if args.engine == "barnes_hut":
+                mode = (
+                    "dp_barnes_hut_grouped3"
+                    if getattr(args, "dims", 2) == 3
+                    else "dp_barnes_hut_grouped"
+                )
+            else:
+                mode = "dp_allpairs"
+        if getattr(args, "dims", 2) == 3 and mode in (
+            "dp_barnes_hut", "dp_barnes_hut_grouped"
+        ):
+            print(
+                f"ERROR: --mode {mode} is 2D-only; use "
+                "dp_barnes_hut_grouped3 (or --mode auto) for 3D",
+                file=sys.stderr,
             )
+            return 2
         if mode == "dp2d_allpairs":
             mesh = make_mesh_2d(max(args.devices // 2, 1), 2)
         else:
@@ -351,6 +372,17 @@ def cmd_compare(args) -> int:
     import time as _time
 
     config = _build_config(args)
+    if getattr(args, "dims", 2) == 3:
+        host_only = {"native", "native_naive", "oracle", "oracle_naive"}
+        used = {args.engine_a, args.engine_b} & host_only
+        if used:
+            print(
+                f"ERROR: {', '.join(sorted(used))} are 2D-only host "
+                "engines (the reference and its oracle are N_DIM=2); in "
+                "3D compare e.g. --engine-a naive --engine-b barnes_hut",
+                file=sys.stderr,
+            )
+            return 2
     state0 = _make_state(args, config)
 
     from .utils.textio import check_equal
@@ -381,10 +413,15 @@ def cmd_plot(args) -> int:
 
     if args.positions:
         print(plots.trajectories(args.positions, args.out))
+    if args.positions_3d:
+        print(plots.trajectories_3d(args.positions_3d, args.out))
     if args.quadtree:
         print(plots.quadtree(args.quadtree, args.out))
-    if not args.positions and not args.quadtree:
-        print("nothing to plot: pass --positions and/or --quadtree")
+    if not args.positions and not args.quadtree and not args.positions_3d:
+        print(
+            "nothing to plot: pass --positions, --positions-3d and/or "
+            "--quadtree"
+        )
         return 2
     return 0
 
@@ -458,6 +495,10 @@ def main(argv=None) -> int:
         "plot", help="vectorised analysis plots (large-N capable)"
     )
     p_plot.add_argument("--positions", default=None, metavar="FILE")
+    p_plot.add_argument("--positions-3d", default=None, metavar="FILE",
+                        help="five-column 3D positions.txt (functional "
+                        "replacement for the reference's broken "
+                        "plot_3d.py)")
     p_plot.add_argument("--quadtree", default=None, metavar="FILE")
     p_plot.add_argument("--out", default=None)
     p_plot.set_defaults(fn=cmd_plot)

@@ -97,6 +97,11 @@ class SimConfig:
     dt: float = DT_DEFAULT
     g: float = G_DEFAULT
 
+    # Spatial dimensionality.  The reference is 2D-only (N_DIM=2,
+    # project.cu:28); 3 enables the octree generalisation its report
+    # names (project_report.pdf p.8) — see ops/tree3d, ops/bh3d.
+    n_dim: int = 2
+
     # Engine selection (reference: pick one of three programs / comment lines
     # in main, README.md:14-18).
     engine: str = "allpairs"  # "naive" | "allpairs" | "barnes_hut"

@@ -88,6 +88,46 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
         return accel
 
     if engine == "barnes_hut":
+        if getattr(config, "n_dim", 2) == 3:
+            if config.bh_mode == "exact":
+                raise ValueError(
+                    "bh_mode='exact' is 2D-only (it mirrors the "
+                    "reference's per-body quadtree DFS); 3D Barnes-Hut "
+                    "uses the grouped octree engine (bh_mode='grouped')"
+                )
+            from ..ops.bh3d import bh3_accelerations_grouped
+            from ..ops.tree3d import default_max_depth3
+
+            # 2D's MAX_DEPTH_DEFAULT=9 would be 8^9 = 134M octree leaves;
+            # resolve the 3D depth from the body count unless the user
+            # overrode it below the 2D default.
+            depth3 = (
+                config.max_depth
+                if config.max_depth not in (None, 9)
+                else default_max_depth3(config.n_bodies)
+            )
+
+            def accel(positions, masses):
+                return bh3_accelerations_grouped(
+                    positions,
+                    masses,
+                    g=g,
+                    theta=config.theta,
+                    max_depth=depth3,
+                    softening=config.softening,
+                    group_size=config.group_size,
+                    frontier_cap=config.frontier_cap,
+                    list_cap=config.list_cap,
+                    direct_cap=config.direct_cap,
+                    direct_cell_max=config.direct_cell_max,
+                    direct_body_cap=config.direct_body_cap,
+                    group_chunk=config.group_chunk,
+                    return_diagnostics=return_diagnostics,
+                    compensated=config.compensated,
+                )
+
+            return accel
+
         if config.bh_mode == "exact":
             from ..ops.barnes_hut import bh_accelerations
 

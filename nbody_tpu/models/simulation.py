@@ -132,6 +132,7 @@ class Simulation:
             record_tree = (
                 getattr(cfg, "metrics_tree", True)
                 and cfg.engine == "barnes_hut"
+                and getattr(cfg, "n_dim", 2) == 2
             )
             metrics.record(state, self._tree_stats(state, record_tree))
 
@@ -150,8 +151,20 @@ class Simulation:
         t_total0 = _time.perf_counter()
         overflow_steps = 0
 
+        dump_tree = cfg.save_tree_dumps
+        if dump_tree and getattr(cfg, "n_dim", 2) != 2:
+            import sys as _sys
+
+            print(
+                "WARNING: --save-tree-dumps is 2D-only (the quadtree dump "
+                "contract, TraverseTreeToFile project.cu:485-533, has no "
+                "3D analogue in the reference); skipping dumps",
+                file=_sys.stderr,
+            )
+            dump_tree = False
+
         for step_idx in range(cfg.n_steps):
-            if cfg.save_tree_dumps and step_idx in (0, cfg.n_steps - 1):
+            if dump_tree and step_idx in (0, cfg.n_steps - 1):
                 self._dump_tree(state, first=(step_idx == 0))
 
             watch.start()

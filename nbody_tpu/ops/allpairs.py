@@ -40,8 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 # zero against any real body, small enough that d^2 stays finite in f32.
 _PAD_SENTINEL = 1e15
 
-# Rows of the packed source matrix (8 sublanes; rows 3..7 zero padding).
-_SRC_X, _SRC_Y, _SRC_GM = 0, 1, 2
 
 
 def _round_up(x: int, m: int) -> int:
@@ -49,29 +47,31 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _allpairs_kernel(
-    tgt_ref,  # (TB, 8) f32: cols [x, y, 0...]
-    src_ref,  # (8, SB) f32: rows [x, y, g*m, 1, 0...]
-    out_ref,  # (TB, 8) f32: cols [acc_x, acc_y, 0...]
-    acc_ref,  # VMEM scratch (TB, 8) f32: cols 0/1 = sums, 4/5 = Kahan comp
+    tgt_ref,  # (TB, 8) f32: cols [x, y, (z,) 0...]
+    src_ref,  # (8, SB) f32: rows [x, y, (z,) g*m, 0...]
+    out_ref,  # (TB, 8) f32: cols [acc per axis, 0...]
+    acc_ref,  # VMEM scratch (TB, 8) f32: cols 0..D-1 = sums, 4..4+D-1 =
+    #           Kahan compensation
     *,
     softening: float,
     n_src_tiles: int,
     compensated: bool = False,
+    dims: int = 2,
 ):
     s = pl.program_id(1)
 
-    tx = tgt_ref[:, _SRC_X : _SRC_X + 1]  # (TB, 1)
-    ty = tgt_ref[:, _SRC_Y : _SRC_Y + 1]
-    sx = src_ref[_SRC_X : _SRC_X + 1, :]  # (1, SB)
-    sy = src_ref[_SRC_Y : _SRC_Y + 1, :]
-    gm = src_ref[_SRC_GM : _SRC_GM + 1, :]
-
     # Pairwise displacements on the VPU.  Computed by direct subtraction
     # (not the |a|^2+|b|^2-2ab matmul identity) to avoid catastrophic
-    # cancellation for close pairs.
-    dx = sx - tx  # (TB, SB)
-    dy = sy - ty
-    d2 = dx * dx + dy * dy
+    # cancellation for close pairs.  Coordinate rows/cols 0..dims-1,
+    # g*m at index ``dims`` (2D: [x, y, gm], 3D: [x, y, z, gm]).
+    d2 = None
+    disp = []
+    for ax in range(dims):
+        da = src_ref[ax : ax + 1, :] - tgt_ref[:, ax : ax + 1]  # (TB, SB)
+        disp.append(da)
+        d2 = da * da if d2 is None else d2 + da * da
+    gm = src_ref[dims : dims + 1, :]
+
     valid = d2 > 0.0  # kills self-pairs exactly and coincident pads
     inv_d = jax.lax.rsqrt(d2)
     if softening:
@@ -103,17 +103,15 @@ def _allpairs_kernel(
                 s_run = t
             return s_run - c_run
 
-        acc_x = _chunk_kahan(w * dx)
-        acc_y = _chunk_kahan(w * dy)
+        accs = [_chunk_kahan(w * da) for da in disp]
     else:
-        acc_x = jnp.sum(w * dx, axis=1, keepdims=True)  # (TB, 1)
-        acc_y = jnp.sum(w * dy, axis=1, keepdims=True)
+        accs = [jnp.sum(w * da, axis=1, keepdims=True) for da in disp]
 
     @pl.when(s == 0)
     def _init():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
-        acc_ref[:, _SRC_X : _SRC_X + 1] = acc_x
-        acc_ref[:, _SRC_Y : _SRC_Y + 1] = acc_y
+        for col, v in enumerate(accs):
+            acc_ref[:, col : col + 1] = v
 
     @pl.when(s != 0)
     def _acc():
@@ -121,8 +119,8 @@ def _allpairs_kernel(
             # Kahan-compensated cross-tile accumulation (SURVEY 7 "hard
             # parts"): the per-tile partial sums form the long sequential
             # chain (N / SB adds), so the running compensation lives in
-            # the spare scratch columns 4/5.
-            for col, v in ((_SRC_X, acc_x), (_SRC_Y, acc_y)):
+            # the spare scratch columns 4..6.
+            for col, v in enumerate(accs):
                 s_prev = acc_ref[:, col : col + 1]
                 c = acc_ref[:, col + 4 : col + 5]
                 y = v - c
@@ -130,19 +128,15 @@ def _allpairs_kernel(
                 acc_ref[:, col + 4 : col + 5] = (t - s_prev) - y
                 acc_ref[:, col : col + 1] = t
         else:
-            acc_ref[:, _SRC_X : _SRC_X + 1] = (
-                acc_ref[:, _SRC_X : _SRC_X + 1] + acc_x
-            )
-            acc_ref[:, _SRC_Y : _SRC_Y + 1] = (
-                acc_ref[:, _SRC_Y : _SRC_Y + 1] + acc_y
-            )
+            for col, v in enumerate(accs):
+                acc_ref[:, col : col + 1] = acc_ref[:, col : col + 1] + v
 
     @pl.when(s == n_src_tiles - 1)
     def _epilogue():
         out_ref[:, :] = acc_ref[:, :]
         if compensated:
             # fold the residual compensation into the result
-            for col in (_SRC_X, _SRC_Y):
+            for col in range(dims):
                 out_ref[:, col : col + 1] = (
                     acc_ref[:, col : col + 1]
                     - acc_ref[:, col + 4 : col + 5]
@@ -161,8 +155,8 @@ def _allpairs_kernel(
     ),
 )
 def allpairs_accelerations_vs(
-    target_positions: jax.Array,  # (Nt, 2)
-    source_positions: jax.Array,  # (Ns, 2)
+    target_positions: jax.Array,  # (Nt, D), D = 2 or 3
+    source_positions: jax.Array,  # (Ns, D)
     source_masses: jax.Array,  # (Ns,)
     *,
     g: float,
@@ -179,9 +173,9 @@ def allpairs_accelerations_vs(
     the gathered global cloud as sources.  A target that also appears among
     the sources at bit-identical coordinates is self-excluded by the
     ``d2 > 0`` guard, so no index bookkeeping crosses device boundaries.
-    Returns (Nt, 2).
+    Returns (Nt, D).
     """
-    nt = target_positions.shape[0]
+    nt, dims = target_positions.shape
     ns = source_positions.shape[0]
     target_positions = target_positions.astype(jnp.float32)
     source_positions = source_positions.astype(jnp.float32)
@@ -190,17 +184,20 @@ def allpairs_accelerations_vs(
     nt_pad = _round_up(max(nt, target_block), target_block)
     ns_pad = _round_up(max(ns, source_block), source_block)
 
-    # Packed target matrix (Nt_pad, 8): [x, y, 0, ...].
+    # Packed target matrix (Nt_pad, 8): [x, y, (z,) 0, ...].
     tgt = jnp.zeros((nt_pad, 8), dtype=jnp.float32)
-    tgt = tgt.at[:nt, 0:2].set(target_positions)
-    tgt = tgt.at[nt:, 0:2].set(_PAD_SENTINEL)
+    tgt = tgt.at[:nt, 0:dims].set(target_positions)
+    tgt = tgt.at[nt:, 0:dims].set(_PAD_SENTINEL)
 
-    # Packed source matrix (8, Ns_pad): [x, y, g*m, 0...]; padded bodies
-    # get the far sentinel position and zero mass: they contribute nothing.
+    # Packed source matrix (8, Ns_pad): [x, y, (z,) g*m, 0...]; padded
+    # bodies get the far sentinel position and zero mass: they contribute
+    # nothing.
     src = jnp.zeros((8, ns_pad), dtype=jnp.float32)
-    src = src.at[0:2, :ns].set(source_positions.T)
-    src = src.at[0:2, ns:].set(_PAD_SENTINEL)
-    src = src.at[2, :ns].set(jnp.asarray(g, jnp.float32) * source_masses)
+    src = src.at[0:dims, :ns].set(source_positions.T)
+    src = src.at[0:dims, ns:].set(_PAD_SENTINEL)
+    src = src.at[dims, :ns].set(
+        jnp.asarray(g, jnp.float32) * source_masses
+    )
 
     n_tgt_tiles = nt_pad // target_block
     n_src_tiles = ns_pad // source_block
@@ -210,6 +207,7 @@ def allpairs_accelerations_vs(
         softening=float(softening),
         n_src_tiles=n_src_tiles,
         compensated=compensated,
+        dims=dims,
     )
 
     pairs = nt_pad * ns_pad
@@ -244,11 +242,11 @@ def allpairs_accelerations_vs(
         interpret=interpret,
     )(tgt, src)
 
-    return out[:nt, 0:2]
+    return out[:nt, 0:dims]
 
 
 def allpairs_accelerations(
-    positions: jax.Array,  # (N, 2)
+    positions: jax.Array,  # (N, D)
     masses: jax.Array,  # (N,)
     *,
     g: float,

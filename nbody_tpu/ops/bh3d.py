@@ -1,0 +1,630 @@
+"""Group-based Barnes-Hut in 3D: Morton-sorted groups over the octree.
+
+The 3D generalisation the reference's report names (octree / ``N_DIM=3``,
+project_report.pdf p.8) but never implements (the shipped code is 2D-only,
+project.cu:28; ``plot_3d.py`` is non-functional).  Same TPU-native design
+as the 2D grouped engine (ops/bh_grouped.py):
+
+1. sort bodies by 3D Morton code — consecutive bodies are spatially
+   compact;
+2. fixed-size groups with Q sub-bboxes (static shapes);
+3. one conservative dual traversal per group over the dense octree
+   pyramid: accept cell iff size_l / d_min < theta with d_min the
+   group-bbox -> cell-COM distance lower bound (only ever opens MORE
+   than per-body BH — at least as accurate);
+4. close multi-body cells are emitted as Morton-contiguous body *ranges*
+   (exact pairwise resolution via 8-body superblock gathers);
+5. evaluation is dense bodies x list in the streaming Pallas kernel
+   (ops/list_eval with dims=3).
+
+Self-exclusion is index-free: singleton cells and direct-range bodies
+carry bit-exact positions, so a body meeting itself has d2 == 0 exactly
+and the d2 > 0 guard drops it (see ops/tree3d.leaf_raw_3d).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BH_SOFTENING, MASS_SKIP_THRESHOLD, THETA_DEFAULT
+from .bh_grouped import (
+    _SB,
+    _expand_ranges_superblocks,
+    _pow2_ceil,
+    _sort_compact,
+)
+from .tree3d import (
+    R3_CNT,
+    R3_M,
+    R3_MX,
+    R3_MY,
+    R3_MZ,
+    R3_OCC,
+    R3_SX,
+    R3_SY,
+    R3_SZ,
+    Octree,
+    build_octree,
+    default_max_depth3,
+    level_cell_size_3d,
+    morton_codes_3d,
+)
+
+
+def frontier_peak_3d(n_bodies: int) -> int:
+    """3D cap scale: demand grows ~N^(2/3) (the surface of the opened
+    region is 2D in a 3D domain, vs ~sqrt(N) in 2D).  Verified against
+    measured per-group demand (gs=2048, theta=0.5, default depth):
+
+    | N    | dist    | approx | direct cells | direct bodies | frontier |
+    |------|---------|--------|--------------|---------------|----------|
+    | 64K  | uniform | 1,470  | 2,782        | 39,601        | 2,356    |
+    | 64K  | 2 blobs | 5,109  | 1,745        | 21,932        | 4,753    |
+    | 256K | uniform | 4,201  | 7,923        | 100,021       | —        |
+    | 256K | 2 blobs | 18,529 | 11,379       | 147,548       | —        |
+
+    (ratios 64K->256K ~ 2.5-2.9 ~ 4^(2/3)); the overflow flag guards
+    distributions that beat the headroom."""
+    return min(16384, max(2048, _pow2_ceil(int(3 * n_bodies ** (2 / 3)))))
+
+
+def cap_defaults_3d(n_bodies: int) -> dict:
+    peak = frontier_peak_3d(n_bodies)
+    return dict(
+        # 5/4*peak covers the collapsed-state approx hump (1.2x peak
+        # measured); multiple of 128 so the Pallas section offset tiles
+        list_cap=max(3072, 5 * peak // 4),
+        direct_cap=max(2048, 3 * peak // 4),
+        direct_body_cap=max(32768, 12 * peak),
+        frontier_cap=peak,
+    )
+
+
+def frontier_schedule_3d(
+    peak: int, max_depth: int, n_bodies: int
+) -> Tuple[int, ...]:
+    """Per-level frontier capacities for the octree walk.
+
+    Same hump model as 2D (ops/bh_grouped.frontier_schedule): demand
+    peaks at the level where bodies/cell ~ 16 (8^l = N/16) and has a
+    max-depth tail for collapsed states."""
+    import math
+
+    lstar = min(
+        max_depth, max(3, round(math.log(max(n_bodies, 128) / 16, 8)))
+    )
+    shape = []
+    for level in range(max_depth + 1):
+        if level <= 2:
+            c = 8**level
+        elif level == max_depth:
+            c = peak
+        elif lstar < level:
+            c = peak // 2
+        else:
+            c = peak >> min(lstar - level, 3)
+        shape.append(int(min(c, peak, 8**level)))
+    return tuple(shape)
+
+
+def _collect_lists_3d(
+    bbox,  # 6-tuple of [G, Q] arrays: x0, x1, y0, y1, z0, z1
+    tree: Octree,
+    *,
+    theta: float,
+    softening: float,
+    frontier_caps: Tuple[int, ...],
+    list_cap: int,
+    direct_cap: int,
+    direct_cell_max: int,
+):
+    """Per-group interaction lists via the dual cell-vs-bbox octree walk.
+
+    Classification per frontier cell mirrors the 2D engine
+    (ops/bh_grouped._collect_lists) with 8 children and 3-bit shifts:
+    singletons and theta-ok / max-depth multis -> approx list; close
+    small multis -> Morton body ranges; the rest open.
+
+    Returns ((lx, ly, lz, lm) approx lists [G, L], ranges [G, D, 2],
+    overflow [G] bool).
+    """
+    x0, x1, y0, y1, z0, z1 = bbox
+    g = x0.shape[0]
+    f32 = x0.dtype
+    max_depth = tree.max_depth
+    overflow = jnp.zeros((g,), bool)
+
+    leaf_cnt = tree.leaf_counts()
+    leaf_cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(leaf_cnt).astype(jnp.int32)]
+    )  # [8^max_depth + 1]
+
+    frontier = jnp.zeros((g, 1), jnp.int32)  # root
+    fcap = 1
+
+    app_x, app_y, app_z, app_m, app_mask = [], [], [], [], []
+    dir_s, dir_c, dir_mask = [], [], []
+
+    for level in range(max_depth + 1):
+        valid = frontier >= 0
+        idx = jnp.where(valid, frontier, 0)
+        rows = tree.raw[level][idx]  # [G, F, 16] — the one gather
+        m = rows[..., R3_M]
+        cnt = rows[..., R3_CNT]
+        one = jnp.asarray(1.0, f32)
+        safe = jnp.where(m > 0, m, one)
+        cx = jnp.where(cnt == one, rows[..., R3_SX], rows[..., R3_MX] / safe)
+        cy = jnp.where(cnt == one, rows[..., R3_SY], rows[..., R3_MY] / safe)
+        cz = jnp.where(cnt == one, rows[..., R3_SZ], rows[..., R3_MZ] / safe)
+
+        # distance from each sub-bbox to the cell COM (0 if inside)
+        cxe, cye, cze = cx[:, None, :], cy[:, None, :], cz[:, None, :]
+        dx = jnp.maximum(
+            jnp.maximum(x0[:, :, None] - cxe, cxe - x1[:, :, None]), 0.0
+        )  # [G, Q, F]
+        dy = jnp.maximum(
+            jnp.maximum(y0[:, :, None] - cye, cye - y1[:, :, None]), 0.0
+        )
+        dz = jnp.maximum(
+            jnp.maximum(z0[:, :, None] - cze, cze - z1[:, :, None]), 0.0
+        )
+        d_min = jnp.min(
+            jnp.sqrt(dx * dx + dy * dy + dz * dz), axis=1
+        ) + jnp.asarray(softening, f32)  # [G, F]
+        size = level_cell_size_3d(tree.bounds, level).astype(f32)
+        theta_ok = size < theta * d_min
+
+        nonempty = valid & (cnt > 0) & (m > MASS_SKIP_THRESHOLD)
+        single = nonempty & (cnt == one)
+        multi = nonempty & (cnt > one)
+        approx = single | (multi & (theta_ok | (level == max_depth)))
+        direct = (
+            multi
+            & ~theta_ok
+            & (level != max_depth)
+            & (cnt <= direct_cell_max)
+        )
+
+        app_x.append(cx)
+        app_y.append(cy)
+        app_z.append(cz)
+        app_m.append(jnp.where(approx, m, 0.0))
+        app_mask.append(approx)
+
+        shift = 3 * (max_depth - level)
+        dir_s.append(idx << shift)
+        dir_c.append(jnp.where(direct, cnt.astype(jnp.int32), 0))
+        dir_mask.append(direct)
+
+        if level == max_depth:
+            break
+
+        open_ = multi & ~theta_ok & ~direct
+        children = (
+            idx[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)
+        ).reshape(g, -1)
+        occ = rows[..., R3_OCC].astype(jnp.int32)
+        child_bits = (
+            (occ[:, :, None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+        ).reshape(g, -1)
+        cmask = jnp.repeat(open_, 8, axis=1) & (child_bits > 0)
+
+        next_cap = min(8 * fcap, frontier_caps[level + 1])
+        (nf,), ovf = _sort_compact(
+            cmask, [jnp.where(cmask, children, -1)], next_cap
+        )
+        overflow = overflow | ovf
+        frontier = nf
+        fcap = next_cap
+
+    (lx, ly, lz, lm), ovf_a = _sort_compact(
+        jnp.concatenate(app_mask, axis=1),
+        [
+            jnp.concatenate(app_x, axis=1),
+            jnp.concatenate(app_y, axis=1),
+            jnp.concatenate(app_z, axis=1),
+            jnp.concatenate(app_m, axis=1),
+        ],
+        list_cap,
+    )
+    (dleaf, dc), ovf_d = _sort_compact(
+        jnp.concatenate(dir_mask, axis=1),
+        [
+            jnp.concatenate(dir_s, axis=1),
+            jnp.concatenate(dir_c, axis=1),
+        ],
+        direct_cap,
+    )
+    ds = jnp.where(dc > 0, leaf_cum[jnp.where(dc > 0, dleaf, 0)], 0)
+    overflow = overflow | ovf_a | ovf_d
+
+    ranges = jnp.stack([ds, dc], axis=-1)  # [G, D, 2]
+    return (lx, ly, lz, lm), ranges, overflow
+
+
+def _superblock_pack_3d(sorted_xyz_gm):
+    """Pack Morton-sorted sources 8 bodies per row: [Nsb, 32] =
+    [x*8 | y*8 | z*8 | gm*8] (row gathers are latency-bound: a 32-wide
+    row costs the same as 1-wide, see PERF.md)."""
+    sx, sy, sz, sgm = sorted_xyz_gm
+    ns = sx.shape[0]
+    pad = ((ns + _SB - 1) // _SB) * _SB - ns
+
+    def pad1(a):
+        return jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) if pad else a
+
+    return jnp.concatenate(
+        [
+            pad1(sx).reshape(-1, _SB),
+            pad1(sy).reshape(-1, _SB),
+            pad1(sz).reshape(-1, _SB),
+            pad1(sgm).reshape(-1, _SB),
+        ],
+        axis=1,
+    )  # [Nsb, 32]
+
+
+def _gather_superblocks_3d(sb_packed, sb_idx, lo, hi):
+    """Resolve superblock indices to per-lane (x, y, z, gm) with lanes
+    outside [lo, hi) or invalid rows masked to gm = 0."""
+    g = sb_idx.shape[0]
+    dmask = sb_idx >= 0
+    rows = sb_packed[jnp.where(dmask, sb_idx, 0)]  # [G, C, 32]
+    lane = jnp.arange(_SB, dtype=jnp.int32)
+    body_id = jnp.where(dmask, sb_idx, 0)[:, :, None] * _SB + lane
+    lane_ok = (
+        dmask[:, :, None]
+        & (body_id >= lo[:, :, None])
+        & (body_id < hi[:, :, None])
+    )
+    width = sb_idx.shape[1] * _SB
+    dxs = rows[:, :, 0:_SB].reshape(g, width)
+    dys = rows[:, :, _SB : 2 * _SB].reshape(g, width)
+    dzs = rows[:, :, 2 * _SB : 3 * _SB].reshape(g, width)
+    dws = jnp.where(lane_ok, rows[:, :, 3 * _SB :], 0.0).reshape(g, width)
+    return dxs, dys, dzs, dws
+
+
+def _evaluate_pallas_3d(
+    positions_grouped,  # [G, S, 3]
+    lists,  # (lx, ly, lz, lm) approx lists [G, L] each
+    direct_sb,  # (sb_idx, lo, hi) [G, C] each
+    sb_packed,  # [Nsb, 32] packed sorted sources
+    *,
+    g_const: float,
+    softening: float,
+    compensated: bool = False,
+):
+    from .list_eval import list_eval_pallas
+
+    f32 = positions_grouped.dtype
+    lx, ly, lz, lm = lists
+    g_groups = lx.shape[0]
+
+    dxs, dys, dzs, dws = _gather_superblocks_3d(sb_packed, *direct_sb)
+
+    src_x = jnp.concatenate([lx, dxs], axis=1)  # [G, K]
+    src_y = jnp.concatenate([ly, dys], axis=1)
+    src_z = jnp.concatenate([lz, dzs], axis=1)
+    src_w = jnp.concatenate([jnp.asarray(g_const, f32) * lm, dws], axis=1)
+    k = src_x.shape[1]
+    zero = jnp.zeros((g_groups, 1, k), f32)
+    src = jnp.concatenate(
+        [
+            src_x[:, None, :],
+            src_y[:, None, :],
+            src_z[:, None, :],
+            src_w[:, None, :],
+        ]
+        + [zero] * 4,
+        axis=1,
+    )  # [G, 8, K] rows [x, y, z, gm, 0*4]
+
+    lens = jnp.stack(
+        [
+            jnp.sum(lm > 0, axis=1).astype(jnp.int32),
+            _SB * jnp.sum(direct_sb[0] >= 0, axis=1).astype(jnp.int32),
+        ],
+        axis=0,
+    )  # [2, G]
+
+    acc = list_eval_pallas(
+        positions_grouped.astype(jnp.float32),
+        src,
+        lens,
+        softening=float(softening),
+        section_offset=lx.shape[1],
+        compensated=compensated,
+    )
+    return acc[:, :, 0], acc[:, :, 1], acc[:, :, 2]
+
+
+def _evaluate_3d(
+    positions_grouped,  # [G, S, 3]
+    lists,  # (lx, ly, lz, lm) [G, L]
+    direct_sb,  # (sb_idx, lo, hi)
+    sb_packed,  # [Nsb, 32]
+    *,
+    g_const: float,
+    softening: float,
+    group_chunk: int,
+):
+    """XLA fallback (CPU / interpret): dense bodies x list, chunked over
+    groups — 3D mirror of ops/bh_grouped._evaluate."""
+    f32 = positions_grouped.dtype
+    eps = jnp.asarray(softening, f32)
+    lx, ly, lz, lm = lists
+    sb_idx_all, lo_all, hi_all = direct_sb
+
+    def chunk_fn(args):
+        p, cx, cy, cz, cm, sbi, lo, hi = args
+        bx = p[:, :, 0:1]
+        by = p[:, :, 1:2]
+        bz = p[:, :, 2:3]
+
+        def accum(sx, sy, sz, sw):
+            dx = sx - bx  # [C, S, K]
+            dy = sy - by
+            dz = sz - bz
+            d2 = dx * dx + dy * dy + dz * dz
+            valid = (d2 > 0.0) & (sw > 0.0)
+            d = jnp.sqrt(d2) + eps
+            w = jnp.where(valid, sw / (jnp.where(valid, d2, 1.0) * d), 0.0)
+            return (
+                jnp.sum(w * dx, axis=-1),
+                jnp.sum(w * dy, axis=-1),
+                jnp.sum(w * dz, axis=-1),
+            )
+
+        ax, ay, az = accum(
+            cx[:, None, :],
+            cy[:, None, :],
+            cz[:, None, :],
+            jnp.asarray(g_const, f32) * cm[:, None, :],
+        )
+        dxs, dys, dzs, dws = _gather_superblocks_3d(sb_packed, sbi, lo, hi)
+        ax2, ay2, az2 = accum(
+            dxs[:, None, :], dys[:, None, :], dzs[:, None, :],
+            dws[:, None, :],
+        )
+        return ax + ax2, ay + ay2, az + az2
+
+    n_groups = positions_grouped.shape[0]
+    chunk = min(group_chunk, n_groups)
+    gpad = (-n_groups) % chunk
+    if gpad:
+        positions_grouped = jnp.pad(
+            positions_grouped, ((0, gpad), (0, 0), (0, 0))
+        )
+        lx, ly, lz, lm = (
+            jnp.pad(a, ((0, gpad), (0, 0))) for a in (lx, ly, lz, lm)
+        )
+        sb_idx_all = jnp.pad(
+            sb_idx_all, ((0, gpad), (0, 0)), constant_values=-1
+        )
+        lo_all = jnp.pad(lo_all, ((0, gpad), (0, 0)))
+        hi_all = jnp.pad(hi_all, ((0, gpad), (0, 0)))
+
+    def r(a):
+        return a.reshape(-1, chunk, *a.shape[1:])
+
+    ax, ay, az = jax.lax.map(
+        chunk_fn,
+        (
+            r(positions_grouped), r(lx), r(ly), r(lz), r(lm),
+            r(sb_idx_all), r(lo_all), r(hi_all),
+        ),
+    )
+    s = positions_grouped.shape[1]
+    return (
+        ax.reshape(-1, s)[:n_groups],
+        ay.reshape(-1, s)[:n_groups],
+        az.reshape(-1, s)[:n_groups],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g",
+        "theta",
+        "max_depth",
+        "softening",
+        "group_size",
+        "frontier_cap",
+        "list_cap",
+        "direct_cap",
+        "direct_cell_max",
+        "direct_body_cap",
+        "group_chunk",
+        "return_diagnostics",
+        "use_pallas",
+        "n_sub",
+        "compensated",
+    ),
+)
+def bh3_accelerations_grouped(
+    positions: jax.Array,  # [N, 3]
+    masses: jax.Array,  # [N]
+    *,
+    g: float,
+    theta: float = THETA_DEFAULT,
+    max_depth: int | None = None,
+    softening: float = BH_SOFTENING,
+    group_size: int = 2048,
+    frontier_cap: int | None = None,
+    list_cap: int | None = None,
+    direct_cap: int | None = None,
+    direct_cell_max: int = 32,
+    direct_body_cap: int | None = None,
+    group_chunk: int = 32,
+    return_diagnostics: bool = False,
+    use_pallas: bool | None = None,
+    n_sub: int | None = None,
+    compensated: bool = False,
+):
+    """Grouped 3D Barnes-Hut accelerations [N, 3] (+ overflow [N]).
+
+    ``None`` caps resolve from :func:`cap_defaults_3d`; ``max_depth``
+    defaults from :func:`tree3d.default_max_depth3` (bodies/leaf ~ 1)."""
+    n = positions.shape[0]
+    f32 = positions.dtype
+    if max_depth is None:
+        max_depth = default_max_depth3(n)
+
+    tree = build_octree(positions, masses, max_depth=max_depth)
+
+    # sources in Morton order: ONE packed [N, 4] row gather
+    src_order = jnp.argsort(tree.codes)
+    packed = jnp.concatenate([positions, masses[:, None]], axis=1)
+    psort = packed[src_order]
+    sorted_srcs = (
+        psort[:, 0],
+        psort[:, 1],
+        psort[:, 2],
+        jnp.asarray(g, f32) * psort[:, 3],
+    )
+    return grouped_eval_3d(
+        positions,
+        tree,
+        sorted_srcs=sorted_srcs,
+        g=g,
+        theta=theta,
+        softening=softening,
+        group_size=group_size,
+        frontier_cap=frontier_cap,
+        list_cap=list_cap,
+        direct_cap=direct_cap,
+        direct_cell_max=direct_cell_max,
+        direct_body_cap=direct_body_cap,
+        group_chunk=group_chunk,
+        return_diagnostics=return_diagnostics,
+        target_sorted=psort[:, 0:3],
+        target_order=src_order,
+        use_pallas=use_pallas,
+        n_sub=n_sub,
+        compensated=compensated,
+    )
+
+
+def grouped_eval_3d(
+    target_positions: jax.Array,  # [Nt, 3] bodies to accelerate
+    tree: Octree,
+    *,
+    sorted_srcs,  # (x, y, z, g*m) [Ns] each, ALL sources in Morton order
+    g: float,
+    theta: float = THETA_DEFAULT,
+    softening: float = BH_SOFTENING,
+    group_size: int = 2048,
+    frontier_cap: int | None = None,
+    list_cap: int | None = None,
+    direct_cap: int | None = None,
+    direct_cell_max: int = 32,
+    direct_body_cap: int | None = None,
+    group_chunk: int = 32,
+    return_diagnostics: bool = False,
+    target_sorted: jax.Array | None = None,
+    target_order: jax.Array | None = None,
+    use_pallas: bool | None = None,
+    n_sub: int | None = None,
+    compensated: bool = False,
+):
+    """Grouped 3D evaluation of arbitrary targets against a prebuilt
+    octree — the 3D mirror of ops/bh_grouped.grouped_eval (multi-chip:
+    each device passes its local shard as targets against the gathered
+    global sources; self-exclusion stays index-free via d2 > 0)."""
+    n = target_positions.shape[0]
+    ns = sorted_srcs[0].shape[0]
+    max_depth = tree.max_depth
+
+    defaults = cap_defaults_3d(ns)
+    frontier_cap = frontier_cap or defaults["frontier_cap"]
+    list_cap = list_cap or defaults["list_cap"]
+    direct_cap = direct_cap or defaults["direct_cap"]
+    direct_body_cap = direct_body_cap or defaults["direct_body_cap"]
+
+    sb_packed = _superblock_pack_3d(sorted_srcs)
+
+    if target_order is None:
+        target_order = jnp.argsort(
+            morton_codes_3d(target_positions, tree.bounds, max_depth)
+        )
+    gs = min(group_size, max(n, 1))
+    n_pad = ((n + gs - 1) // gs) * gs
+    tsort = (
+        target_positions[target_order]
+        if target_sorted is None
+        else target_sorted
+    )
+    tsort = jnp.concatenate(
+        [tsort, jnp.broadcast_to(tsort[-1], (n_pad - n, 3))], axis=0
+    )
+    pg = tsort.reshape(-1, gs, 3)  # [G, S, 3]
+
+    if n_sub is None:
+        n_sub = max(4, gs // 128)
+    if gs % n_sub:
+        n_sub = 1
+    sub = pg.reshape(pg.shape[0], n_sub, gs // n_sub, 3)
+    bbox = (
+        jnp.min(sub[..., 0], axis=2),
+        jnp.max(sub[..., 0], axis=2),
+        jnp.min(sub[..., 1], axis=2),
+        jnp.max(sub[..., 1], axis=2),
+        jnp.min(sub[..., 2], axis=2),
+        jnp.max(sub[..., 2], axis=2),
+    )
+    lists, ranges, overflow_g = _collect_lists_3d(
+        bbox,
+        tree,
+        theta=theta,
+        softening=softening,
+        frontier_caps=frontier_schedule_3d(frontier_cap, max_depth, ns),
+        list_cap=list_cap,
+        direct_cap=direct_cap,
+        direct_cell_max=direct_cell_max,
+    )
+    sb_cap = direct_body_cap // _SB + direct_cap
+    sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
+        ranges, direct_cell_max, sb_cap
+    )
+    overflow_g = overflow_g | ovf_b
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        ax, ay, az = _evaluate_pallas_3d(
+            pg,
+            lists,
+            (sb_idx, sb_lo, sb_hi),
+            sb_packed,
+            g_const=g,
+            softening=softening,
+            compensated=compensated,
+        )
+    else:
+        ax, ay, az = _evaluate_3d(
+            pg,
+            lists,
+            (sb_idx, sb_lo, sb_hi),
+            sb_packed,
+            g_const=g,
+            softening=softening,
+            group_chunk=group_chunk,
+        )
+
+    acc_sorted = jnp.stack(
+        [ax.reshape(-1), ay.reshape(-1), az.reshape(-1)], axis=-1
+    )[:n]
+    acc = jnp.zeros((n, 3), acc_sorted.dtype).at[target_order].set(
+        acc_sorted
+    )
+    if return_diagnostics:
+        ovf_sorted = jnp.repeat(overflow_g, gs)[:n]
+        ovf = jnp.zeros((n,), bool).at[target_order].set(ovf_sorted)
+        return acc, ovf
+    return acc

@@ -55,6 +55,7 @@ def _kernel(
     k_tile,
     section_offset,
     compensated=False,
+    dims=2,
 ):
     i = pl.program_id(0)
     k = pl.program_id(2)
@@ -79,15 +80,17 @@ def _kernel(
 
     @pl.when(occupied)
     def _compute():
-        tx = tgt_ref[0, :, 0:1]  # (S_TILE, 1)
-        ty = tgt_ref[0, :, 1:2]
-        sx = src_ref[0, 0:1, :]  # (1, K_TILE)
-        sy = src_ref[0, 1:2, :]
-        gm = src_ref[0, 2:3, :]
+        # src rows 0..dims-1 are coordinates, row ``dims`` is g*m; the
+        # packed layout leaves rows dims+1..7 as zero pad (2D: [x, y, gm],
+        # 3D: [x, y, z, gm]).
+        d2 = None
+        disp = []
+        for ax in range(dims):
+            da = src_ref[0, ax : ax + 1, :] - tgt_ref[0, :, ax : ax + 1]
+            disp.append(da)  # (S_TILE, K_TILE)
+            d2 = da * da if d2 is None else d2 + da * da
+        gm = src_ref[0, dims : dims + 1, :]
 
-        dx = sx - tx  # (S_TILE, K_TILE)
-        dy = sy - ty
-        d2 = dx * dx + dy * dy
         valid = (d2 > 0.0) & (gm > 0.0)
         # rsqrt-based softened factoring, bit-matching allpairs.py: padded
         # lanes produce NaN (rsqrt(0)) that the where() kills.
@@ -96,11 +99,10 @@ def _kernel(
         w = jnp.where(
             valid, gm / (d2 * (d + jnp.float32(softening))), 0.0
         )
-        vx = jnp.sum(w * dx, axis=1, keepdims=True)
-        vy = jnp.sum(w * dy, axis=1, keepdims=True)
+        vs = [jnp.sum(w * da, axis=1, keepdims=True) for da in disp]
         if compensated:
-            # Kahan across k tiles; compensation in scratch cols 4/5
-            for col, v in ((0, vx), (1, vy)):
+            # Kahan across k tiles; compensation in scratch cols 4..6
+            for col, v in enumerate(vs):
                 s_prev = acc_ref[:, col : col + 1]
                 c = acc_ref[:, col + 4 : col + 5]
                 y = v - c
@@ -108,14 +110,14 @@ def _kernel(
                 acc_ref[:, col + 4 : col + 5] = (t - s_prev) - y
                 acc_ref[:, col : col + 1] = t
         else:
-            acc_ref[:, 0:1] = acc_ref[:, 0:1] + vx
-            acc_ref[:, 1:2] = acc_ref[:, 1:2] + vy
+            for col, v in enumerate(vs):
+                acc_ref[:, col : col + 1] = acc_ref[:, col : col + 1] + v
 
     @pl.when(k == n_k_tiles - 1)
     def _write():
         out_ref[0, :, :] = acc_ref[:, :]
         if compensated:
-            for col in (0, 1):
+            for col in range(dims):
                 out_ref[0, :, col : col + 1] = (
                     acc_ref[:, col : col + 1]
                     - acc_ref[:, col + 4 : col + 5]
@@ -130,8 +132,10 @@ def _kernel(
     ),
 )
 def list_eval_pallas(
-    targets: jax.Array,  # [G, S, 2] group body positions
-    sources: jax.Array,  # [G, 8, K] packed rows [x, y, gm, 0...]; gm==0 pad
+    targets: jax.Array,  # [G, S, D] group body positions (D = 2 or 3)
+    sources: jax.Array,  # [G, 8, K] packed rows [x, y, (z,) gm, 0...];
+    #                      gm == 0 marks padding; coordinate rows 0..D-1,
+    #                      g*m at row D
     lens: jax.Array,  # [2, G] int32 occupied lengths of the two sections
     #                    (row-major [2, G]: SMEM pads the minor dimension,
     #                    so [G, 2] would cost 512B/row = 1MB at G=2048)
@@ -143,14 +147,14 @@ def list_eval_pallas(
     interpret: bool = False,
     compensated: bool = False,
 ) -> jax.Array:
-    """Accelerations [G, S, 2] of each group's bodies due to its list."""
+    """Accelerations [G, S, D] of each group's bodies due to its list."""
     if jax.config.jax_enable_x64 and not interpret:
         raise ValueError(
             "list_eval_pallas requires jax_enable_x64=False (TPU Mosaic "
             "has no int64/f64 lowering); for f64 physics use the NumPy "
             "oracle (nbody_tpu.models.oracle) or the native C++ engine"
         )
-    g, s, _ = targets.shape
+    g, s, dims = targets.shape
     # Target tile: the all-pairs kernel's measured-best target block is 512
     # (occupancy.allpairs_tiles); small groups use one tile.
     if s % s_tile:
@@ -182,7 +186,7 @@ def list_eval_pallas(
     n_s_tiles = s // s_tile
     off_tile = section_offset // k_tile
 
-    tgt = jnp.zeros((g, s, 8), jnp.float32).at[:, :, 0:2].set(targets)
+    tgt = jnp.zeros((g, s, 8), jnp.float32).at[:, :, 0:dims].set(targets)
 
     def _src_map(i, si, j, lens_ref):
         # Clamp non-occupied tiles to the last occupied tile at or before
@@ -237,6 +241,7 @@ def list_eval_pallas(
             k_tile=k_tile,
             section_offset=int(section_offset),
             compensated=compensated,
+            dims=dims,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g, s, 8), jnp.float32),
@@ -250,4 +255,4 @@ def list_eval_pallas(
         ),
         interpret=interpret,
     )(lens.astype(jnp.int32), tgt, sources)
-    return out[:, :, 0:2]
+    return out[:, :, 0:dims]

@@ -292,6 +292,63 @@ def make_dp_barnes_hut_grouped_step(config: SimConfig, mesh: Mesh) -> Callable:
     return _wrap_state_step(step)
 
 
+def make_dp_barnes_hut_grouped3_step(
+    config: SimConfig, mesh: Mesh
+) -> Callable:
+    """3D mirror of make_dp_barnes_hut_grouped_step: all_gather the cloud,
+    build the octree redundantly per chip, grouped-evaluate the local
+    shard (ops/bh3d.grouped_eval_3d)."""
+    axis = config.mesh.axis_name
+    dt = config.dt
+    g = config.g
+
+    from ..ops.bh3d import grouped_eval_3d
+    from ..ops.tree3d import build_octree, default_max_depth3
+
+    depth3 = (
+        config.max_depth
+        if config.max_depth not in (None, 9)
+        else default_max_depth3(config.n_bodies)
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        check_vma=False,
+    )
+    def step(masses, positions, velocities, time, stepc):
+        all_pos = jax.lax.all_gather(positions, axis, axis=0, tiled=True)
+        all_m = jax.lax.all_gather(masses, axis, axis=0, tiled=True)
+        tree = build_octree(all_pos, all_m, max_depth=depth3)
+        src_order = jnp.argsort(tree.codes)
+        psort = all_pos[src_order]
+        acc = grouped_eval_3d(
+            positions,
+            tree,
+            sorted_srcs=(
+                psort[:, 0],
+                psort[:, 1],
+                psort[:, 2],
+                jnp.asarray(g, all_pos.dtype) * all_m[src_order],
+            ),
+            g=g,
+            theta=config.theta,
+            softening=config.softening,
+            group_size=config.group_size,
+            frontier_cap=config.frontier_cap,
+            list_cap=config.list_cap,
+            direct_cap=config.direct_cap,
+            direct_cell_max=config.direct_cell_max,
+            direct_body_cap=config.direct_body_cap,
+            group_chunk=config.group_chunk,
+        )
+        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+
+    return _wrap_state_step(step)
+
+
 def _wrap_state_step(array_step: Callable) -> Callable:
     """Lift an array-level step to SimState -> SimState under jit."""
 
@@ -320,6 +377,7 @@ STEP_BUILDERS = {
     "ring_allpairs": make_ring_allpairs_step,
     "dp_barnes_hut": make_dp_barnes_hut_step,
     "dp_barnes_hut_grouped": make_dp_barnes_hut_grouped_step,
+    "dp_barnes_hut_grouped3": make_dp_barnes_hut_grouped3_step,
     "dp2d_allpairs": make_dp2d_allpairs_step,
 }
 

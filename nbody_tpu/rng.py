@@ -42,7 +42,8 @@ def random_state(config: SimConfig) -> SimState:
     n = config.n_bodies
     r: InitRanges = config.init
     k_m, k_p, k_v = jax.random.split(jax.random.PRNGKey(config.seed), 3)
+    dims = getattr(config, "n_dim", 2)
     masses = log_uniform(k_m, (n,), r.lower_m, r.higher_m, dtype)
-    positions = uniform(k_p, (n, 2), r.lower_p, r.higher_p, dtype)
-    velocities = uniform(k_v, (n, 2), r.lower_v, r.higher_v, dtype)
+    positions = uniform(k_p, (n, dims), r.lower_p, r.higher_p, dtype)
+    velocities = uniform(k_v, (n, dims), r.lower_v, r.higher_v, dtype)
     return make_state(masses, positions, velocities, dtype=dtype)

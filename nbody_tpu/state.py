@@ -50,9 +50,15 @@ def make_state(
     masses = jnp.asarray(masses, dtype=dtype)
     positions = jnp.asarray(positions, dtype=dtype)
     velocities = jnp.asarray(velocities, dtype=dtype)
-    if masses.ndim != 1 or positions.shape != (masses.shape[0], 2):
+    if (
+        masses.ndim != 1
+        or positions.ndim != 2
+        or positions.shape[0] != masses.shape[0]
+        or positions.shape[1] not in (2, 3)
+    ):
         raise ValueError(
             f"bad shapes: masses {masses.shape}, positions {positions.shape}"
+            " (expected [N] and [N, 2|3])"
         )
     if velocities.shape != positions.shape:
         raise ValueError(

@@ -99,12 +99,13 @@ def load_init_triplet(
     positions_file: str,
     velocities_file: str,
     n_bodies: int,
+    n_dim: int = 2,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """loadSimulationDataFromText (project.cu:103-161), incl. the loaded-
     bodies confirmation on stdout (project.cu:160)."""
     masses = load_masses(masses_file, n_bodies)
-    positions = load_vectors(positions_file, n_bodies)
-    velocities = load_vectors(velocities_file, n_bodies)
+    positions = load_vectors(positions_file, n_bodies, n_dim=n_dim)
+    velocities = load_vectors(velocities_file, n_bodies, n_dim=n_dim)
     print(f"Loaded {n_bodies} bodies from text files.")
     return masses, positions, velocities
 
@@ -134,7 +135,7 @@ class PositionsWriter:
         import io as _io
 
         positions = np.asarray(positions, dtype=np.float64)
-        n = positions.shape[0]
+        n, dims = positions.shape
         rows = np.column_stack(
             [
                 np.full(n, float(time)),
@@ -144,11 +145,13 @@ class PositionsWriter:
         )
         buf = _io.StringIO()
         # trailing space before the newline matches savePositions
-        # (project.cu:855-863: every field is followed by one space)
+        # (project.cu:855-863: every field is followed by one space).
+        # 3D runs emit ``time body x y z `` — the five-column schema the
+        # reference's plot_3d.py:11-15 parses.
         np.savetxt(
             buf,
             rows,
-            fmt=["%.6f", "%d", "%.6f", "%.6f"],
+            fmt=["%.6f", "%d"] + ["%.6f"] * dims,
             delimiter=" ",
             newline=" \n",
         )

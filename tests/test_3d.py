@@ -1,0 +1,258 @@
+"""3D (octree) path: tree invariants, kernels, engine accuracy, e2e.
+
+The reference is 2D-only; its report names the octree / N_DIM=3
+generalisation (project_report.pdf p.8) and ships a non-functional
+plot_3d.py.  These tests pin the 3D path the same way the 2D tests pin
+the quadtree path: NumPy f64 dense ground truth + structural invariants.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+G = 6.67e-11
+
+
+def _dense_f64(pos64, m64, g=G):
+    d = pos64[None, :, :] - pos64[:, None, :]
+    r2 = (d**2).sum(-1)
+    np.fill_diagonal(r2, 1.0)
+    inv = g * m64[None, :] / (r2**1.5)
+    np.fill_diagonal(inv, 0.0)
+    return (d * inv[:, :, None]).sum(1)
+
+
+@pytest.fixture(scope="module")
+def cloud3(rng):
+    n = 2048
+    pos = rng.uniform(-0.1, 0.1, (n, 3))
+    m = 10 ** rng.uniform(-1, np.log10(0.5), n)
+    return (
+        jnp.asarray(pos, jnp.float32),
+        jnp.asarray(m, jnp.float32),
+        pos,
+        m,
+    )
+
+
+def test_octree_invariants(cloud3):
+    from nbody_tpu.ops.tree3d import (
+        R3_CNT,
+        R3_M,
+        R3_MX,
+        R3_OCC,
+        R3_SX,
+        build_octree,
+    )
+
+    pos, m, pos64, m64 = cloud3
+    n = pos.shape[0]
+    t = build_octree(pos, m, max_depth=5)
+
+    root = np.asarray(t.raw[0])
+    assert root[0, R3_CNT] == n
+    assert abs(root[0, R3_M] - m64.sum()) / m64.sum() < 1e-5
+
+    com = (m64[:, None] * pos64).sum(0) / m64.sum()
+    com_t = root[0, R3_MX : R3_MX + 3] / root[0, R3_M]
+    assert np.abs(com - com_t).max() < 1e-6
+
+    # every level conserves the body count
+    for r in t.raw:
+        assert abs(np.asarray(r)[:, R3_CNT].sum() - n) < 1e-3
+
+    # parent occupancy bits == mask of child counts
+    for lv in range(len(t.raw) - 1):
+        par = np.asarray(t.raw[lv])
+        ch = np.asarray(t.raw[lv + 1])
+        bits = (
+            ((ch[:, R3_CNT].reshape(-1, 8) > 0) * (1 << np.arange(8)))
+            .sum(1)
+        )
+        assert (par[:, R3_OCC].astype(int) == bits).all()
+
+    # singleton leaf cells carry bit-exact body positions
+    leaf = np.asarray(t.raw[-1])
+    codes = np.asarray(t.codes)
+    cell = np.where(leaf[:, R3_CNT] == 1)[0][0]
+    body = np.where(codes == cell)[0][0]
+    assert (leaf[cell, R3_SX : R3_SX + 3] == np.asarray(pos)[body]).all()
+
+
+def test_morton3_cell_consistency(cloud3):
+    from nbody_tpu.ops.tree3d import morton_codes_3d, root_bounds_3d
+
+    pos, _, pos64, _ = cloud3
+    bounds = root_bounds_3d(pos)
+    codes = np.asarray(morton_codes_3d(pos, bounds, 4))
+    assert codes.min() >= 0 and codes.max() < 8**4
+    # the x bit of the first level is bit 0 of the top 3-bit group
+    b = np.asarray(bounds)
+    mid_x = (b[0] + b[1]) * 0.5
+    top = codes >> (3 * 3)
+    assert ((top & 1) == (np.asarray(pos)[:, 0] >= mid_x)).all()
+
+
+def test_allpairs_kernel_3d(cloud3):
+    from nbody_tpu.ops.allpairs import allpairs_accelerations
+
+    pos, m, pos64, m64 = cloud3
+    a = np.asarray(allpairs_accelerations(pos, m, g=G, interpret=True))
+    dense = _dense_f64(pos64, m64)
+    rel = np.linalg.norm(a - dense, axis=1) / (
+        np.linalg.norm(dense, axis=1) + 1e-30
+    )
+    assert rel.max() < 1e-4
+
+
+def test_grouped3_vs_dense(cloud3):
+    from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
+
+    pos, m, pos64, m64 = cloud3
+    a, ovf = bh3_accelerations_grouped(
+        pos, m, g=G, theta=0.5, return_diagnostics=True
+    )
+    assert int(np.asarray(ovf).sum()) == 0
+    dense = _dense_f64(pos64, m64)
+    rel = np.linalg.norm(np.asarray(a) - dense, axis=1) / (
+        np.linalg.norm(dense, axis=1) + 1e-30
+    )
+    # conservative group acceptance: median well under the 1e-3 budget
+    assert np.median(rel) < 1e-4
+    assert np.quantile(rel, 0.99) < 5e-3
+
+
+def test_grouped3_theta_zero_converges(cloud3):
+    from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
+
+    pos, m, pos64, m64 = cloud3
+    a = np.asarray(
+        bh3_accelerations_grouped(pos, m, g=G, theta=1e-6)
+    )
+    dense = _dense_f64(pos64, m64)
+    rel = np.linalg.norm(a - dense, axis=1) / (
+        np.linalg.norm(dense, axis=1) + 1e-30
+    )
+    assert rel.max() < 1e-4
+
+
+def test_list_eval_pallas_3d_interpret(cloud3):
+    """The streaming kernel path in 3D (interpret mode) must match the
+    XLA fallback evaluation."""
+    from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
+
+    pos, m, _, _ = cloud3
+    a_xla = np.asarray(
+        bh3_accelerations_grouped(pos, m, g=G, theta=0.5, use_pallas=False)
+    )
+    # interpret-mode pallas_call runs on CPU; _evaluate_pallas_3d imports
+    # the symbol inside the function, so patching the module suffices
+    import nbody_tpu.ops.list_eval as le
+
+    orig = le.list_eval_pallas
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    try:
+        le.list_eval_pallas = interp
+        a_pl = np.asarray(
+            bh3_accelerations_grouped(
+                pos, m, g=G, theta=0.5, use_pallas=True
+            )
+        )
+    finally:
+        le.list_eval_pallas = orig
+    scale = np.abs(a_xla).max()
+    assert np.abs(a_pl - a_xla).max() / scale < 1e-5
+
+
+def test_simulation_3d_contract(tmp_path):
+    from nbody_tpu import SimConfig
+    from nbody_tpu.models.simulation import Simulation
+
+    cfg = SimConfig(
+        n_bodies=512,
+        n_dim=3,
+        n_steps=3,
+        engine="barnes_hut",
+        seed=11,
+        save_positions=True,
+        output_dir=str(tmp_path),
+    )
+    state, timing = Simulation(cfg).run_contract()
+    assert state.positions.shape == (512, 3)
+
+    # five-column schema the reference's plot_3d.py parses (plot_3d.py:11-15)
+    rows = [
+        line.split()
+        for line in (tmp_path / "positions.txt").read_text().splitlines()
+        if line.strip()
+    ]
+    assert all(len(r) == 5 for r in rows)
+    assert len(rows) == 4 * 512  # step 0 + 3 steps
+
+    from nbody_tpu.bench import plots
+
+    out = plots.trajectories_3d(
+        str(tmp_path / "positions.txt"), str(tmp_path / "p3.png")
+    )
+    assert (tmp_path / "p3.png").exists(), out
+
+
+def test_simulation_3d_energy_drift():
+    """Symplectic Euler on a soft 3D cloud: momentum is conserved to
+    f32 roundoff (forces are antisymmetric pair sums)."""
+    from nbody_tpu import SimConfig
+    from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.physics import total_momentum
+
+    cfg = SimConfig(n_bodies=512, n_dim=3, n_steps=10, engine="naive", seed=3)
+    sim = Simulation(cfg)
+    p0 = np.asarray(total_momentum(sim.state))
+    sim.run_scan()
+    p1 = np.asarray(total_momentum(sim.state))
+    # velocities ~1e-4, masses ~0.3: |p| ~ 1e-2; drift must be roundoff
+    assert np.abs(p1 - p0).max() < 1e-6
+
+
+def test_sharded_3d_matches_single_device(rng):
+    """dp_barnes_hut_grouped3 on the fake 8-device mesh reproduces the
+    single-device grouped-3D trajectory."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 fake devices")
+    from nbody_tpu.config import MeshConfig, SimConfig
+    from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.parallel import make_mesh, make_sharded_step, shard_state
+    from nbody_tpu.rng import random_state
+
+    cfg = SimConfig(
+        n_bodies=1024, n_dim=3, n_steps=3, engine="barnes_hut", seed=5,
+        mesh=MeshConfig(dp=8),
+    )
+    state0 = random_state(cfg)
+
+    sim_single = Simulation(cfg, state=state0)
+    sim_single.run_scan()
+    ref = np.asarray(sim_single.state.positions)
+
+    mesh = make_mesh(8)
+    step = make_sharded_step(cfg, mesh, "dp_barnes_hut_grouped3")
+    state = shard_state(random_state(cfg), mesh)
+    for _ in range(3):
+        state = step(state)
+    got = np.asarray(state.positions)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-5
+
+
+def test_make_state_rejects_bad_dims():
+    from nbody_tpu.state import make_state
+
+    with pytest.raises(ValueError):
+        make_state(np.ones(4), np.ones((4, 4)), np.ones((4, 4)))
+    make_state(np.ones(4), np.ones((4, 3)), np.ones((4, 3)))  # ok
