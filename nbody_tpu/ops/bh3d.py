@@ -588,6 +588,12 @@ def grouped_eval_3d(
         direct_cap=direct_cap,
         direct_cell_max=direct_cell_max,
     )
+    # NOTE: a merge_ranges + expand_runs_superblocks variant (interval-
+    # union of the per-cell ranges) was measured end-to-end and LOST:
+    # 290 ms/step at 256K vs 270 for the static per-cell expansion, with
+    # run-cap overflow on 2 groups — the near-field cells that fail to
+    # merge are numerous enough that run enumeration costs more than the
+    # boundary-superblock slack it removes.  See PERF.md.
     sb_cap = direct_body_cap // _SB + direct_cap
     sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
         ranges, direct_cell_max, sb_cap
