@@ -54,6 +54,7 @@ def run_sweep(args) -> int:
 
     base = SimConfig(
         n_bodies=args.n_bodies,
+        n_dim=getattr(args, "dims", 2),
         n_steps=args.steps,
         dt=args.dt,
         g=args.g,
@@ -96,10 +97,14 @@ def run_sweep(args) -> int:
         state = _fresh_state(cfg, seed=args.seed + rep)
         step_fn = None
         if n_devices > 1:
-            mode = (
-                "dp_barnes_hut_grouped" if args.engine == "barnes_hut"
-                else "dp_allpairs"
-            )
+            if args.engine == "barnes_hut":
+                mode = (
+                    "dp_barnes_hut_grouped3"
+                    if getattr(args, "dims", 2) == 3
+                    else "dp_barnes_hut_grouped"
+                )
+            else:
+                mode = "dp_allpairs"
             mesh = parallel.make_mesh(n_devices)
             state = parallel.shard_state(state, mesh)
             step_fn = parallel.make_sharded_step(cfg, mesh, mode)

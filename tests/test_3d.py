@@ -256,3 +256,82 @@ def test_make_state_rejects_bad_dims():
     with pytest.raises(ValueError):
         make_state(np.ones(4), np.ones((4, 4)), np.ones((4, 4)))
     make_state(np.ones(4), np.ones((4, 3)), np.ones((4, 3)))  # ok
+
+
+def test_cli_run_3d(tmp_path, capsys):
+    """CLI --dims 3 end-to-end: timing contract + five-column positions."""
+    from nbody_tpu.cli import main
+
+    rc = main(
+        [
+            "run", "--dims", "3", "--engine", "barnes_hut",
+            "--n-bodies", "256", "--steps", "2",
+            "--save-positions", "--output-dir", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "milliseconds" in out and "microseconds" in out
+    rows = [
+        line.split()
+        for line in (tmp_path / "positions.txt").read_text().splitlines()
+        if line.strip()
+    ]
+    assert all(len(r) == 5 for r in rows)
+
+
+def test_cli_compare_3d(tmp_path, capsys):
+    """3D compare: naive vs grouped octree BH from one init (checkEqual
+    workflow, project.cu:1027-1047, generalised)."""
+    from nbody_tpu.cli import main
+
+    rc = main(
+        [
+            "compare", "--dims", "3", "--n-bodies", "256", "--steps", "2",
+            "--engine-a", "naive", "--engine-b", "barnes_hut",
+            "--tol", "1e-5", "--output-dir", str(tmp_path),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "final positions" in out
+    assert rc == 0, out
+
+
+def test_cli_compare_3d_rejects_host_engines(tmp_path, capsys):
+    from nbody_tpu.cli import main
+
+    rc = main(
+        [
+            "compare", "--dims", "3", "--n-bodies", "64", "--steps", "1",
+            "--engine-a", "native", "--engine-b", "barnes_hut",
+            "--output-dir", str(tmp_path),
+        ]
+    )
+    assert rc == 2
+
+
+def test_cli_sweep_3d_strong(tmp_path, capsys, monkeypatch):
+    """Strong-scaling sweep in 3D on the fake mesh; reference results-file
+    shape preserved."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs fake multi-device mesh")
+    monkeypatch.chdir(tmp_path)
+    from nbody_tpu.cli import main
+
+    rc = main(
+        [
+            "sweep", "--dims", "3", "--engine", "barnes_hut",
+            "--experiment", "strong", "--n-bodies", "256", "--steps", "2",
+            "--device-counts", "1,2", "--repeats", "1",
+            "--results-file", "sw3.txt",
+        ]
+    )
+    assert rc == 0
+    text = (tmp_path / "sw3.txt").read_text()
+    assert "n_bodies, n_threads, n_simulations, runtime" in text
+    # one point line per device count (+ the embedded stdout timing
+    # lines the reference plotters parse)
+    assert "256, 1, 2, " in text and "256, 2, 2, " in text
+    assert text.count("GPU total computation took") == 2
