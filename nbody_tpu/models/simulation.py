@@ -132,7 +132,6 @@ class Simulation:
             record_tree = (
                 getattr(cfg, "metrics_tree", True)
                 and cfg.engine == "barnes_hut"
-                and getattr(cfg, "n_dim", 2) == 2
             )
             metrics.record(state, self._tree_stats(state, record_tree))
 
@@ -244,6 +243,16 @@ class Simulation:
     def _tree_stats(self, state: SimState, enabled: bool):
         if not enabled:
             return None
+        if state.positions.shape[1] == 3:
+            from ..ops.tree3d import default_max_depth3
+            from ..utils.metrics import tree_stats_3d
+
+            md = self.config.max_depth
+            if md in (None, 9):  # 2D default: resolve per the 3D engine
+                md = default_max_depth3(state.positions.shape[0])
+            return tree_stats_3d(
+                state.positions, state.masses, max_depth=md
+            )
         from ..utils.metrics import tree_stats
 
         return tree_stats(

@@ -94,3 +94,26 @@ def tree_stats(positions, masses, max_depth: int = 9) -> dict:
         "max_depth": deepest,
         "occupied_per_level": occupied,
     }
+
+
+def tree_stats_3d(positions, masses, max_depth: int | None = None) -> dict:
+    """Octree analogue of :func:`tree_stats` for 3D runs."""
+    from ..ops.tree3d import R3_CNT, build_octree, default_max_depth3
+
+    if max_depth is None:
+        max_depth = default_max_depth3(positions.shape[0])
+    tree = build_octree(positions, masses, max_depth=max_depth)
+    counts = [lv[:, R3_CNT] for lv in tree.raw]
+    occupied = [int(jnp.sum(c > 0)) for c in counts]
+    deepest = 0
+    for level in range(1, max_depth + 1):
+        if int(jnp.sum(counts[level - 1] >= 2)) > 0:
+            deepest = level
+    nodes = 1
+    for level in range(max_depth):
+        nodes += 8 * int(jnp.sum(counts[level] >= 2))
+    return {
+        "nodes": nodes,
+        "max_depth": deepest,
+        "occupied_per_level": occupied,
+    }

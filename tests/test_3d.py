@@ -335,3 +335,22 @@ def test_cli_sweep_3d_strong(tmp_path, capsys, monkeypatch):
     # lines the reference plotters parse)
     assert "256, 1, 2, " in text and "256, 2, 2, " in text
     assert text.count("GPU total computation took") == 2
+
+
+def test_metrics_csv_3d_tree_stats(tmp_path):
+    """3D runs record octree statistics in the metrics CSV (the 2D
+    tree_nodes/tree_max_depth observable, observations.txt:59-65)."""
+    import csv
+
+    from nbody_tpu import SimConfig
+    from nbody_tpu.models.simulation import Simulation
+
+    cfg = SimConfig(
+        n_bodies=256, n_dim=3, n_steps=2, engine="barnes_hut", seed=2,
+        metrics_csv="m3.csv", output_dir=str(tmp_path),
+    )
+    Simulation(cfg).run_contract()
+    rows = list(csv.DictReader(open(tmp_path / "m3.csv")))
+    assert len(rows) == 3
+    assert all(int(r["tree_nodes"]) > 8 for r in rows)
+    assert all(int(r["tree_max_depth"]) >= 1 for r in rows)
