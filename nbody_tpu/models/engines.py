@@ -107,6 +107,13 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                 else default_max_depth3(config.n_bodies)
             )
 
+            # 32 is the 2D default; the 3D engine resolves its own
+            # N-aware threshold (ops/bh3d.direct_cell_max_default)
+            dcm3 = (
+                None if config.direct_cell_max == 32
+                else config.direct_cell_max
+            )
+
             def accel(positions, masses):
                 return bh3_accelerations_grouped(
                     positions,
@@ -119,7 +126,7 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                     frontier_cap=config.frontier_cap,
                     list_cap=config.list_cap,
                     direct_cap=config.direct_cap,
-                    direct_cell_max=config.direct_cell_max,
+                    direct_cell_max=dcm3,
                     direct_body_cap=config.direct_body_cap,
                     group_chunk=config.group_chunk,
                     return_diagnostics=return_diagnostics,

@@ -68,18 +68,37 @@ def frontier_peak_3d(n_bodies: int) -> int:
     | 256K | 2 blobs | 18,529 | 11,379       | 147,548       | —        |
 
     (ratios 64K->256K ~ 2.5-2.9 ~ 4^(2/3)); the overflow flag guards
-    distributions that beat the headroom."""
-    return min(16384, max(2048, _pow2_ceil(int(3 * n_bodies ** (2 / 3)))))
+    distributions that beat the headroom.  The 32K clamp engages at
+    N ~ 1M (a 16K clamp left 5.3% of bodies overflowing there); the
+    chunked evaluator (_evaluate_pallas_3d) keeps the wide source
+    tables within HBM."""
+    return min(32768, max(2048, _pow2_ceil(int(3 * n_bodies ** (2 / 3)))))
+
+
+def direct_cell_max_default(n_bodies: int) -> int:
+    """N-aware direct-cell threshold.  At 1M bodies the dcm=32 walk
+    opens 33K-63K frontier cells per group at the deep levels (measured)
+    and the frontier compaction sorts dominate the step; raising dcm
+    stops the walk earlier — cells up to ``dcm`` bodies become exact
+    Morton ranges instead of opening.  Measured end-to-end: at 256K
+    dcm=128 LOSES (337 vs 270 ms/step — the extra direct volume and the
+    wider eval grid cost more than the frontier sorts saved), so the
+    switch engages at 512K+ where the dcm=32 frontier becomes untenable
+    (33K-63K cells/group at 1M vs 7K/19K at dcm=128)."""
+    return 32 if n_bodies < 524288 else 128
 
 
 def cap_defaults_3d(n_bodies: int) -> dict:
     peak = frontier_peak_3d(n_bodies)
+    dcm = direct_cell_max_default(n_bodies)
     return dict(
         # 5/4*peak covers the collapsed-state approx hump (1.2x peak
         # measured); multiple of 128 so the Pallas section offset tiles
         list_cap=max(3072, 5 * peak // 4),
         direct_cap=max(2048, 3 * peak // 4),
-        direct_body_cap=max(32768, 12 * peak),
+        # dcm=128 direct sections run to ~535K bodies/group at 1M
+        # collapsed (measured); 20*peak = 655,360 there
+        direct_body_cap=max(32768, (12 if dcm <= 32 else 20) * peak),
         frontier_cap=peak,
     )
 
@@ -89,11 +108,19 @@ def frontier_schedule_3d(
 ) -> Tuple[int, ...]:
     """Per-level frontier capacities for the octree walk.
 
-    Same hump model as 2D (ops/bh_grouped.frontier_schedule): demand
-    peaks at the level where bodies/cell ~ 16 (8^l = N/16) and has a
-    max-depth tail for collapsed states."""
+    Two regimes, both measured (overflow-free on uniform + two-blob
+    collapsed states at every listed scale):
+
+    * N < 512K (dcm=32): the 2D-style lstar hump model — demand peaks
+      where bodies/cell ~ 16 and has a max-depth tail for collapsed
+      states.
+    * N >= 512K (dcm=128): the larger direct-cell threshold collapses
+      the hump (1M: 33K-63K -> 7K/19K cells measured), so flat peak//2
+      mid-levels suffice and the compaction sorts (width 8 x cap, the
+      collect phase's cost) stay narrow."""
     import math
 
+    hump = direct_cell_max_default(n_bodies) < 128
     lstar = min(
         max_depth, max(3, round(math.log(max(n_bodies, 128) / 16, 8)))
     )
@@ -102,7 +129,9 @@ def frontier_schedule_3d(
         if level <= 2:
             c = 8**level
         elif level == max_depth:
-            c = peak
+            c = peak  # collapsed-state tail (measured 18,888 @1M blobs)
+        elif not hump:
+            c = peak // 2
         elif lstar < level:
             c = peak // 2
         else:
@@ -298,48 +327,84 @@ def _evaluate_pallas_3d(
     g_const: float,
     softening: float,
     compensated: bool = False,
+    eval_chunk: int = 64,
 ):
+    """Chunked over groups: 3D direct sections are wide (the [G, 8, K]
+    source table would be ~3-6 GB of HBM at N=1M); materialising the
+    gathered superblocks + packed table only ``eval_chunk`` groups at a
+    time bounds peak HBM to ~chunk/G of that while the Pallas grid
+    inside each chunk is unchanged."""
     from .list_eval import list_eval_pallas
 
     f32 = positions_grouped.dtype
     lx, ly, lz, lm = lists
     g_groups = lx.shape[0]
+    sb_idx_all, lo_all, hi_all = direct_sb
+    section = lx.shape[1]
 
-    dxs, dys, dzs, dws = _gather_superblocks_3d(sb_packed, *direct_sb)
+    def chunk_fn(args):
+        p, clx, cly, clz, clm, sbi, lo, hi = args
+        dxs, dys, dzs, dws = _gather_superblocks_3d(sb_packed, sbi, lo, hi)
+        src_x = jnp.concatenate([clx, dxs], axis=1)  # [C, K]
+        src_y = jnp.concatenate([cly, dys], axis=1)
+        src_z = jnp.concatenate([clz, dzs], axis=1)
+        src_w = jnp.concatenate(
+            [jnp.asarray(g_const, f32) * clm, dws], axis=1
+        )
+        cg, k = src_x.shape
+        zero = jnp.zeros((cg, 1, k), f32)
+        src = jnp.concatenate(
+            [
+                src_x[:, None, :],
+                src_y[:, None, :],
+                src_z[:, None, :],
+                src_w[:, None, :],
+            ]
+            + [zero] * 4,
+            axis=1,
+        )  # [C, 8, K] rows [x, y, z, gm, 0*4]
+        lens = jnp.stack(
+            [
+                jnp.sum(clm > 0, axis=1).astype(jnp.int32),
+                _SB * jnp.sum(sbi >= 0, axis=1).astype(jnp.int32),
+            ],
+            axis=0,
+        )  # [2, C]
+        return list_eval_pallas(
+            p.astype(jnp.float32),
+            src,
+            lens,
+            softening=float(softening),
+            section_offset=section,
+            compensated=compensated,
+        )
 
-    src_x = jnp.concatenate([lx, dxs], axis=1)  # [G, K]
-    src_y = jnp.concatenate([ly, dys], axis=1)
-    src_z = jnp.concatenate([lz, dzs], axis=1)
-    src_w = jnp.concatenate([jnp.asarray(g_const, f32) * lm, dws], axis=1)
-    k = src_x.shape[1]
-    zero = jnp.zeros((g_groups, 1, k), f32)
-    src = jnp.concatenate(
-        [
-            src_x[:, None, :],
-            src_y[:, None, :],
-            src_z[:, None, :],
-            src_w[:, None, :],
-        ]
-        + [zero] * 4,
-        axis=1,
-    )  # [G, 8, K] rows [x, y, z, gm, 0*4]
+    chunk = min(eval_chunk, g_groups)
+    gpad = (-g_groups) % chunk
+    if gpad:
+        positions_grouped = jnp.pad(
+            positions_grouped, ((0, gpad), (0, 0), (0, 0))
+        )
+        lx, ly, lz, lm = (
+            jnp.pad(a, ((0, gpad), (0, 0))) for a in (lx, ly, lz, lm)
+        )
+        sb_idx_all = jnp.pad(
+            sb_idx_all, ((0, gpad), (0, 0)), constant_values=-1
+        )
+        lo_all = jnp.pad(lo_all, ((0, gpad), (0, 0)))
+        hi_all = jnp.pad(hi_all, ((0, gpad), (0, 0)))
 
-    lens = jnp.stack(
-        [
-            jnp.sum(lm > 0, axis=1).astype(jnp.int32),
-            _SB * jnp.sum(direct_sb[0] >= 0, axis=1).astype(jnp.int32),
-        ],
-        axis=0,
-    )  # [2, G]
+    def r(a):
+        return a.reshape(-1, chunk, *a.shape[1:])
 
-    acc = list_eval_pallas(
-        positions_grouped.astype(jnp.float32),
-        src,
-        lens,
-        softening=float(softening),
-        section_offset=lx.shape[1],
-        compensated=compensated,
-    )
+    acc = jax.lax.map(
+        chunk_fn,
+        (
+            r(positions_grouped), r(lx), r(ly), r(lz), r(lm),
+            r(sb_idx_all), r(lo_all), r(hi_all),
+        ),
+    )  # [n_chunks, C, S, D]
+    acc = acc.reshape(-1, *acc.shape[2:])[:g_groups]
     return acc[:, :, 0], acc[:, :, 1], acc[:, :, 2]
 
 
@@ -459,7 +524,7 @@ def bh3_accelerations_grouped(
     frontier_cap: int | None = None,
     list_cap: int | None = None,
     direct_cap: int | None = None,
-    direct_cell_max: int = 32,
+    direct_cell_max: int | None = None,
     direct_body_cap: int | None = None,
     group_chunk: int = 32,
     return_diagnostics: bool = False,
@@ -523,7 +588,7 @@ def grouped_eval_3d(
     frontier_cap: int | None = None,
     list_cap: int | None = None,
     direct_cap: int | None = None,
-    direct_cell_max: int = 32,
+    direct_cell_max: int | None = None,
     direct_body_cap: int | None = None,
     group_chunk: int = 32,
     return_diagnostics: bool = False,
@@ -542,6 +607,8 @@ def grouped_eval_3d(
     max_depth = tree.max_depth
 
     defaults = cap_defaults_3d(ns)
+    if direct_cell_max is None:
+        direct_cell_max = direct_cell_max_default(ns)
     frontier_cap = frontier_cap or defaults["frontier_cap"]
     list_cap = list_cap or defaults["list_cap"]
     direct_cap = direct_cap or defaults["direct_cap"]
@@ -623,14 +690,23 @@ def grouped_eval_3d(
             group_chunk=group_chunk,
         )
 
-    acc_sorted = jnp.stack(
-        [ax.reshape(-1), ay.reshape(-1), az.reshape(-1)], axis=-1
-    )[:n]
-    acc = jnp.zeros((n, 3), acc_sorted.dtype).at[target_order].set(
-        acc_sorted
-    )
+    # un-sort by sorting on the permutation (see ops/bh_grouped.py: the
+    # bitonic sort beats the per-row-serializing scatter)
+    axs = ax.reshape(-1)[:n]
+    ays = ay.reshape(-1)[:n]
+    azs = az.reshape(-1)[:n]
     if return_diagnostics:
         ovf_sorted = jnp.repeat(overflow_g, gs)[:n]
-        ovf = jnp.zeros((n,), bool).at[target_order].set(ovf_sorted)
-        return acc, ovf
-    return acc
+        _, ax_o, ay_o, az_o, ovf = jax.lax.sort(
+            [target_order, axs, ays, azs, ovf_sorted.astype(jnp.int32)],
+            dimension=0, num_keys=1, is_stable=False,
+        )
+        return (
+            jnp.stack([ax_o, ay_o, az_o], axis=-1),
+            ovf.astype(bool),
+        )
+    _, ax_o, ay_o, az_o = jax.lax.sort(
+        [target_order, axs, ays, azs],
+        dimension=0, num_keys=1, is_stable=False,
+    )
+    return jnp.stack([ax_o, ay_o, az_o], axis=-1)

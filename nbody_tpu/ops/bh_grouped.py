@@ -914,12 +914,20 @@ def grouped_eval(
             group_chunk=group_chunk,
         )
 
-    # un-sort with ONE scatter (acc[order] = acc_sorted) instead of
-    # building the inverse permutation (a scatter) plus a gather
-    acc_sorted = jnp.stack([ax.reshape(-1), ay.reshape(-1)], axis=-1)[:n]
-    acc = jnp.zeros((n, 2), acc_sorted.dtype).at[order].set(acc_sorted)
+    # un-sort by SORTING on the permutation: ``order`` is a permutation
+    # of 0..n-1, so sorting (order, values) by order restores original
+    # body order on the fast bitonic path — the scatter formulation
+    # (acc.at[order].set) serializes per row (~1.1 ms at 64K)
+    axs = ax.reshape(-1)[:n]
+    ays = ay.reshape(-1)[:n]
     if return_diagnostics:
         ovf_sorted = jnp.repeat(overflow_g, gs)[:n]
-        ovf = jnp.zeros((n,), bool).at[order].set(ovf_sorted)
-        return acc, ovf
-    return acc
+        _, ax_o, ay_o, ovf = jax.lax.sort(
+            [order, axs, ays, ovf_sorted.astype(jnp.int32)],
+            dimension=0, num_keys=1, is_stable=False,
+        )
+        return jnp.stack([ax_o, ay_o], axis=-1), ovf.astype(bool)
+    _, ax_o, ay_o = jax.lax.sort(
+        [order, axs, ays], dimension=0, num_keys=1, is_stable=False
+    )
+    return jnp.stack([ax_o, ay_o], axis=-1)

@@ -340,7 +340,10 @@ def make_dp_barnes_hut_grouped3_step(
             frontier_cap=config.frontier_cap,
             list_cap=config.list_cap,
             direct_cap=config.direct_cap,
-            direct_cell_max=config.direct_cell_max,
+            direct_cell_max=(
+                None if config.direct_cell_max == 32
+                else config.direct_cell_max
+            ),
             direct_body_cap=config.direct_body_cap,
             group_chunk=config.group_chunk,
         )
