@@ -65,6 +65,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "mode derives a per-level schedule from measured "
                         "demand; exact mode uses 256)")
     # init modes (README.md:14-18: CPU init / GPU init / load from files)
+    p.add_argument("--init-mode", choices=["uniform", "blobs"],
+                   default="uniform",
+                   help="random init distribution: uniform (reference) "
+                        "or blobs (two dense clusters — the collapsed "
+                        "worst case the traversal caps are calibrated "
+                        "against)")
     p.add_argument("--load-init", metavar="DIR", default=None,
                    help="load masses/positions/velocities_init.txt from DIR")
     p.add_argument("--save-init", action="store_true",
@@ -123,6 +129,7 @@ def _build_config(args):
         bh_mode=args.bh_mode,
         group_size=args.group_size,
         seed=args.seed,
+        init_mode=getattr(args, "init_mode", "uniform"),
         dtype=args.precision,
         compensated=args.compensated,
         target_block=args.target_block,

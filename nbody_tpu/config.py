@@ -122,6 +122,10 @@ class SimConfig:
     # counter-based JAX PRNG for reproducibility).
     seed: int = 0
     init: InitRanges = dataclasses.field(default_factory=InitRanges)
+    # "uniform" (the reference's distribution) or "blobs" (two dense
+    # Gaussian clusters — the collapsed worst case the traversal caps
+    # are calibrated against, see rng.random_state / PERF.md)
+    init_mode: str = "uniform"
 
     # Kernel tiling (the TPU analogue of the reference's occupancy model,
     # project.cu:163-217: pick a block size from hardware limits).  None =

@@ -37,13 +37,42 @@ def uniform(key, shape, lower: float, higher: float, dtype=jnp.float32):
 
 def random_state(config: SimConfig) -> SimState:
     """Fresh random bodies per the configured ranges (initializeCpu /
-    initializeGpu, project.cu:298-341)."""
+    initializeGpu, project.cu:298-341).
+
+    ``init_mode``:
+
+    * ``"uniform"`` — the reference's distribution (positions and
+      velocities U(lo, hi), masses log-uniform).
+    * ``"blobs"`` — two dense Gaussian clusters (sigma = 2% of the
+      position range) inside the same domain: the collapsed-state
+    	distribution used to calibrate every traversal cap in this repo
+      (PERF.md); the reference has no analogue — exposed so the
+      worst-case perf/overflow claims are user-reproducible.
+    """
     dtype = config.jnp_dtype()
     n = config.n_bodies
     r: InitRanges = config.init
-    k_m, k_p, k_v = jax.random.split(jax.random.PRNGKey(config.seed), 3)
+    k_m, k_p, k_v, k_c = jax.random.split(
+        jax.random.PRNGKey(config.seed), 4
+    )
     dims = getattr(config, "n_dim", 2)
     masses = log_uniform(k_m, (n,), r.lower_m, r.higher_m, dtype)
-    positions = uniform(k_p, (n, dims), r.lower_p, r.higher_p, dtype)
+    mode = getattr(config, "init_mode", "uniform")
+    if mode == "blobs":
+        span = r.higher_p - r.lower_p
+        centers = uniform(
+            k_c, (2, dims), r.lower_p + 0.25 * span,
+            r.higher_p - 0.25 * span, dtype,
+        )
+        which = (jnp.arange(n) % 2)[:, None]
+        noise = 0.02 * span * jax.random.normal(
+            k_p, (n, dims), dtype=jnp.float32
+        ).astype(dtype)
+        positions = jnp.where(which == 0, centers[0], centers[1]) + noise
+        positions = jnp.clip(positions, r.lower_p, r.higher_p)
+    elif mode == "uniform":
+        positions = uniform(k_p, (n, dims), r.lower_p, r.higher_p, dtype)
+    else:
+        raise ValueError(f"unknown init_mode {mode!r}")
     velocities = uniform(k_v, (n, dims), r.lower_v, r.higher_v, dtype)
     return make_state(masses, positions, velocities, dtype=dtype)

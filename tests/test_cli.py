@@ -223,3 +223,37 @@ def test_plot_subcommand(tmp_path, capsys, monkeypatch):
     assert os.path.exists("plot_2d.png")
     assert os.path.exists("quadtree_init_png.png")
     assert main(["plot"]) == 2  # nothing to plot
+
+
+def test_init_mode_blobs(tmp_path, capsys):
+    """--init-mode blobs: two dense clusters inside the domain, run end
+    to end through the grouped engine (the collapsed worst case the
+    traversal caps are calibrated against)."""
+    import numpy as np
+
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.rng import random_state
+
+    cfg = SimConfig(n_bodies=2048, init_mode="blobs", seed=3)
+    state = random_state(cfg)
+    pos = np.asarray(state.positions)
+    assert pos.min() >= -0.1 and pos.max() <= 0.1
+    # two tight clusters: the distance of each body to its nearer
+    # cluster mean is a few sigma (sigma = 2% of the 0.2 range)
+    c0 = pos[0::2].mean(0)
+    c1 = pos[1::2].mean(0)
+    d = np.minimum(
+        np.linalg.norm(pos - c0, axis=1), np.linalg.norm(pos - c1, axis=1)
+    )
+    assert np.quantile(d, 0.99) < 0.02  # ~5 sigma
+    assert np.linalg.norm(c0 - c1) > 0.01  # distinct clusters
+
+    rc = main(
+        [
+            "run", "--engine", "barnes_hut", "--init-mode", "blobs",
+            "--n-bodies", "2048", "--steps", "2",
+            "--output-dir", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    assert TOTAL_RE.search(capsys.readouterr().out)
