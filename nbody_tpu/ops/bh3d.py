@@ -93,8 +93,9 @@ def cap_defaults_3d(n_bodies: int) -> dict:
     dcm = direct_cell_max_default(n_bodies)
     return dict(
         # 5/4*peak covers the collapsed-state approx hump (1.2x peak
-        # measured); multiple of 128 so the Pallas section offset tiles
-        list_cap=max(3072, 5 * peak // 4),
+        # measured); rounded to a multiple of 2048 so the Pallas section
+        # offset tiles at the full k_tile
+        list_cap=max(4096, -(-(5 * peak // 4) // 2048) * 2048),
         direct_cap=max(2048, 3 * peak // 4),
         # dcm=128 direct sections run to ~535K bodies/group at 1M
         # collapsed (measured); 20*peak = 655,360 there
@@ -338,6 +339,15 @@ def _evaluate_pallas_3d(
 
     f32 = positions_grouped.dtype
     lx, ly, lz, lm = lists
+    # pad the approx section to a multiple of 2048: when the walk emits
+    # fewer candidates than list_cap the compaction returns a narrower
+    # (arbitrary-width) section, which must still tile at the kernel's
+    # k_tile; every power-of-two tile <= 2048 divides the padded width
+    apad = (-lx.shape[1]) % 2048
+    if apad:
+        lx, ly, lz, lm = (
+            jnp.pad(a, ((0, 0), (0, apad))) for a in (lx, ly, lz, lm)
+        )
     g_groups = lx.shape[0]
     sb_idx_all, lo_all, hi_all = direct_sb
     section = lx.shape[1]

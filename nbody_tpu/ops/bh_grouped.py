@@ -93,7 +93,9 @@ def cap_defaults(group_size: int, n_bodies: int) -> dict:
     """
     peak = frontier_peak(n_bodies)
     return dict(
-        list_cap=max(1536, 3 * peak // 4),
+        # rounded up to a multiple of 2048 so the Pallas section offset
+        # tiles at the full k_tile (list_eval_pallas)
+        list_cap=max(2048, -(-(3 * peak // 4) // 2048) * 2048),
         direct_cap=max(1024, 3 * peak // 4),
         direct_body_cap=max(24576, 16 * peak),
         frontier_cap=peak,
@@ -344,6 +346,14 @@ def _evaluate_pallas(
 
     f32 = positions_grouped.dtype
     lx, ly, lm = lists
+    # pad the approx section to a multiple of 2048: a sub-cap candidate
+    # total yields an arbitrary-width section, which must still tile at
+    # the kernel's k_tile (see ops/bh3d._evaluate_pallas_3d)
+    apad = (-lx.shape[1]) % 2048
+    if apad:
+        lx, ly, lm = (
+            jnp.pad(a, ((0, 0), (0, apad))) for a in (lx, ly, lm)
+        )
     sb_idx, lo, hi = direct_sb
     g_groups = lx.shape[0]
 
