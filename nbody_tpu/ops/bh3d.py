@@ -665,7 +665,8 @@ def grouped_eval_3d(
         direct_cap=direct_cap,
         direct_cell_max=direct_cell_max,
     )
-    # NOTE: a merge_ranges + expand_runs_superblocks variant (interval-
+    # NOTE: a merge_ranges + expand_runs_superblocks variant (now in
+    # ops/experiments.py; interval-
     # union of the per-cell ranges) was measured end-to-end and LOST:
     # 290 ms/step at 256K vs 270 for the static per-cell expansion, with
     # run-cap overflow on 2 groups — the near-field cells that fail to

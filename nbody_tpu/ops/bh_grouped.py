@@ -428,130 +428,6 @@ def _evaluate_pallas(
 _SB = 8  # bodies per superblock (one packed gather row)
 
 
-def merge_ranges(ranges: jax.Array, cap: int | None = None):
-    """Merge overlapping/adjacent per-group body ranges into maximal runs.
-
-    Direct cells emitted by the traversal are Morton-contiguous slices of
-    the sorted body array, and a group's near field is mostly ONE
-    contiguous Morton run around the group plus a few satellites — so
-    interval union collapses thousands of per-cell ranges into a handful
-    of runs.  Downstream this (a) removes the superblock rows double-
-    fetched at every cell boundary and (b) shrinks the *occupied* direct
-    section the Pallas evaluator computes on (~1.6x fewer direct lanes
-    measured at 3D/256K).
-
-    Pure data-parallel interval union per row: sort by start, running
-    max of ends (associative_scan), run boundaries where a start exceeds
-    every prior end, compact starts/ends of each run.  Merging only ever
-    reduces the entry count, so the output reuses the input capacity and
-    cannot overflow.
-
-    ranges: [G, D, 2] (start, count), zero-count padded.  Returns
-    ([G, cap, 2] merged (start, count) left-compacted, overflow [G]).
-    ``cap`` defaults to min(D, 256): a group's near field merges to a
-    handful of runs in practice, and the small output keeps the
-    downstream superblock enumeration cheap; more runs than ``cap``
-    raises the overflow flag (the usual cap discipline).
-    """
-    starts = ranges[:, :, 0]
-    counts = ranges[:, :, 1]
-    if cap is None:
-        cap = min(ranges.shape[1], 256)
-    valid = counts > 0
-    ends = starts + counts
-    key = jnp.where(valid, starts, _INT_MAX)
-    s_sorted, e_sorted = jax.lax.sort(
-        [key, jnp.where(valid, ends, 0)],
-        dimension=1,
-        num_keys=1,
-        is_stable=False,
-    )
-    v_sorted = s_sorted < _INT_MAX
-    cmax = jax.lax.cummax(e_sorted, axis=1)
-    prev_cmax = jnp.concatenate(
-        [jnp.full_like(cmax[:, :1], -1), cmax[:, :-1]], axis=1
-    )
-    new_run = v_sorted & (s_sorted > prev_cmax)
-    # last element of each run: the next entry starts a new run or is pad
-    nxt = jnp.concatenate(
-        [new_run[:, 1:] | ~v_sorted[:, 1:], jnp.ones_like(new_run[:, :1])],
-        axis=1,
-    )
-    is_last = v_sorted & nxt
-    # the k-th new_run and the k-th is_last delimit the same run, so the
-    # two compactions zip by position
-    (ms,), ovf_s = _sort_compact(
-        new_run, [jnp.where(new_run, s_sorted, 0)], cap
-    )
-    (me,), _ = _sort_compact(is_last, [jnp.where(is_last, cmax, 0)], cap)
-    return (
-        jnp.stack([ms, jnp.maximum(me - ms, 0)], axis=-1),
-        ovf_s,
-    )
-
-
-def expand_runs_superblocks(ranges: jax.Array, sb_cap: int):
-    """Expand merged body runs to a compact per-group superblock list.
-
-    Unlike :func:`_expand_ranges_superblocks` (whose static per-range
-    expansion is sized by ``direct_cell_max``), runs out of
-    :func:`merge_ranges` have unbounded length, so the expansion
-    enumerates a variable number of superblocks per run: exclusive
-    prefix sums give each run's output offset, and each output slot
-    finds its run by binary search (searchsorted) — all static shapes.
-
-    Returns (sb_idx [G, C], lo [G, C], hi [G, C], overflow [G]); invalid
-    entries have sb_idx == -1.
-    """
-    g, d, _ = ranges.shape
-    starts = ranges[:, :, 0]
-    counts = ranges[:, :, 1]
-    ends = starts + counts
-    first = starts >> 3
-    last = (ends - 1) >> 3  # arithmetic shift: count==0 -> last < first
-    n_sb = jnp.maximum(last - first + 1, 0)  # [G, D]
-    total = jnp.sum(n_sb, axis=1)  # [G]
-    offsets = jnp.cumsum(n_sb, axis=1) - n_sb  # exclusive prefix sums
-
-    # run index covering each output slot: scatter each run's index at
-    # its output offset, then a running max fills the gaps.  (A vmapped
-    # searchsorted lowers to ~17 ms of serial binary searches at these
-    # shapes, and jnp.repeat to ~4.5 ms; the scatter is tiny because the
-    # merged-run input width D is small.)
-    valid = n_sb > 0
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (g, d), 1)
-    # flat 1D scatter (segment_max) — the same proven pattern as the
-    # tree's leaf scatter; 2D advanced-index .at[].max compiles
-    # pathologically (>30 min) on the TPU toolchain
-    row0 = jnp.arange(g, dtype=jnp.int32)[:, None] * sb_cap
-    flat_pos = jnp.where(valid, row0 + offsets, g * sb_cap)  # OOB: drop
-    marks = jax.ops.segment_max(
-        kidx.reshape(-1),
-        flat_pos.reshape(-1),
-        num_segments=g * sb_cap,
-        indices_are_sorted=False,
-    ).reshape(g, sb_cap)
-    marks = jnp.maximum(marks, 0)  # empty segments return INT_MIN
-    k = jax.lax.cummax(marks, axis=1)  # [G, C]
-    j = jnp.arange(sb_cap, dtype=jnp.int32)
-    # ONE flat row gather for the three per-run fields (the proven
-    # pattern in this module: flatten the [G, D] table and gather
-    # g*D + k rows; per-row latency, width free)
-    packed = jnp.stack(
-        [first - offsets, starts, ends], axis=-1
-    ).reshape(g * d, 3)
-    flat = jnp.arange(g, dtype=jnp.int32)[:, None] * d + k
-    rows = packed[flat]  # [G, C, 3]
-    sb = rows[:, :, 0] + j[None, :]
-    mask = j[None, :] < total[:, None]
-    return (
-        jnp.where(mask, sb, -1),
-        jnp.where(mask, rows[:, :, 1], 0),
-        jnp.where(mask, rows[:, :, 2], 0),
-        total > sb_cap,
-    )
-
-
 def _expand_ranges_superblocks(
     ranges: jax.Array,  # [G, D, 2] (start, count)
     direct_cell_max: int,
@@ -885,11 +761,11 @@ def grouped_eval(
         direct_cap=direct_cap,
         direct_cell_max=direct_cell_max,
     )
-    # 2D keeps the static per-cell expansion: its direct sections are
-    # small (~12K bodies/group at 64K), and the merge+enumerate pipeline
-    # costs more than it saves here (6.8 vs 5.6 ms/step measured).  The
-    # 3D engine, whose direct near-field is ~10x larger, uses
-    # merge_ranges + expand_runs_superblocks instead (ops/bh3d.py).
+    # Both 2D and 3D ship the static per-cell expansion: the merged-run
+    # pipeline (interval union + variable-length enumeration) was
+    # measured end-to-end and LOST in both (2D 64K 6.8 vs 5.6 ms/step;
+    # 3D 256K 290 vs 270 ms/step plus run-cap overflow) — kept as a
+    # tested utility in ops/experiments.py; negative result in PERF.md.
     sb_cap = direct_body_cap // _SB + direct_cap
     sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
         ranges, direct_cell_max, sb_cap

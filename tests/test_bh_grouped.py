@@ -130,61 +130,3 @@ def test_deterministic_across_calls():
     b = np.asarray(bh_accelerations_grouped(
         jnp.asarray(positions), jnp.asarray(masses), g=G, group_chunk=8))
     np.testing.assert_array_equal(a, b)
-
-
-def test_merge_ranges_interval_union(rng):
-    """merge_ranges must produce exactly the interval union per row."""
-    import jax.numpy as jnp
-
-    from nbody_tpu.ops.bh_grouped import merge_ranges
-
-    g, d = 8, 64
-    starts = rng.integers(0, 1000, (g, d)).astype(np.int32)
-    counts = rng.integers(0, 40, (g, d)).astype(np.int32)
-    counts[:, 50:] = 0  # padding tail
-    merged, ovf = merge_ranges(
-        jnp.stack([jnp.asarray(starts), jnp.asarray(counts)], -1)
-    )
-    merged = np.asarray(merged)
-    assert not np.asarray(ovf).any()
-    for row in range(g):
-        ivs = sorted(
-            (int(s), int(s + c))
-            for s, c in zip(starts[row], counts[row]) if c > 0
-        )
-        union = []
-        for s, e in ivs:
-            if union and s <= union[-1][1]:
-                union[-1] = (union[-1][0], max(union[-1][1], e))
-            else:
-                union.append((s, e))
-        got = [
-            (int(s), int(s + c))
-            for s, c in merged[row] if c > 0
-        ]
-        assert got == union, (row, got[:5], union[:5])
-
-
-def test_expand_runs_superblocks(rng):
-    """Enumerated superblocks must cover each run exactly once with the
-    right lane bounds."""
-    import jax.numpy as jnp
-
-    from nbody_tpu.ops.bh_grouped import expand_runs_superblocks
-
-    ranges = np.zeros((2, 8, 2), np.int32)
-    ranges[0, 0] = (3, 20)    # superblocks 0..2
-    ranges[0, 1] = (64, 300)  # superblocks 8..45
-    ranges[1, 0] = (8, 8)     # exactly superblock 1
-    sb, lo, hi, ovf = (
-        np.asarray(a)
-        for a in expand_runs_superblocks(jnp.asarray(ranges), 64)
-    )
-    assert not ovf.any()
-    row0 = [s for s in sb[0] if s >= 0]
-    assert row0 == list(range(0, 3)) + list(range(8, 46))
-    assert (lo[0][:3] == 3).all() and (hi[0][:3] == 23).all()
-    assert (lo[0][3:41] == 64).all() and (hi[0][3:41] == 364).all()
-    row1 = [s for s in sb[1] if s >= 0]
-    assert row1 == [1]
-    assert lo[1][0] == 8 and hi[1][0] == 16
