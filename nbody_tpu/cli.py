@@ -40,7 +40,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         default="barnes_hut",
     )
     p.add_argument("--theta", type=float, default=0.5)
-    p.add_argument("--max-depth", type=int, default=9)
+    p.add_argument("--max-depth", type=int, default=None,
+                   help="tree depth cap; default: 9 in 2D (reference QUADTREE_MAX_DEPTH, project.cu:61), density-derived in 3D")
     p.add_argument("--softening", type=float, default=1e-15,
                    help="distance softening (project.cu:634; naive uses 0)")
     p.add_argument("--bh-mode", choices=["grouped", "exact"],
@@ -339,7 +340,7 @@ def _run_engine_final(name: str, config, state0) -> np.ndarray:
         pos, _ = native.simulate(
             p, v, m, config.n_steps, config.dt, config.g,
             engine="naive" if name == "native_naive" else "barnes_hut",
-            theta=config.theta, max_depth=config.max_depth,
+            theta=config.theta, max_depth=config.resolved_max_depth,
         )
         return pos
     if name in ("oracle", "oracle_naive"):
@@ -348,7 +349,7 @@ def _run_engine_final(name: str, config, state0) -> np.ndarray:
         return oracle.simulate(
             p, v, m, config.n_steps, dt=config.dt, g=config.g,
             engine="naive" if name == "oracle_naive" else "barnes_hut",
-            theta=config.theta, max_depth=config.max_depth,
+            theta=config.theta, max_depth=config.resolved_max_depth,
         )[-1]
 
     from .models.simulation import Simulation

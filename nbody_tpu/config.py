@@ -106,9 +106,13 @@ class SimConfig:
     # in main, README.md:14-18).
     engine: str = "allpairs"  # "naive" | "allpairs" | "barnes_hut"
 
-    # Barnes-Hut knobs (project.cu:60-62).
+    # Barnes-Hut knobs (project.cu:60-62).  ``max_depth=None`` = auto:
+    # the reference's QUADTREE_MAX_DEPTH=10 (== our 0-based 9) in 2D, a
+    # density-derived depth in 3D (ops.tree3d.default_max_depth3 —
+    # 8^9 octree leaves would be 134M cells).  An explicit value is
+    # always honored, including 9/32 (no sentinel aliasing).
     theta: float = THETA_DEFAULT
-    max_depth: int = MAX_DEPTH_DEFAULT
+    max_depth: Optional[int] = None
     softening: float = BH_SOFTENING
 
     # Precision policy.  The reference is all-fp64; TPU-native default is f32
@@ -152,7 +156,9 @@ class SimConfig:
     group_size: int = 2048
     list_cap: Optional[int] = None
     direct_cap: Optional[int] = None
-    direct_cell_max: int = 32
+    # None = auto: 32 in 2D; N-aware in 3D (ops.bh3d
+    # direct_cell_max_default).  Explicit values are always honored.
+    direct_cell_max: Optional[int] = None
     direct_body_cap: Optional[int] = None
     group_chunk: int = 32
 
@@ -181,14 +187,36 @@ class SimConfig:
         return dataclasses.replace(self, **kw)
 
     @property
+    def resolved_max_depth(self) -> int:
+        """``max_depth`` with the None-auto resolved (2D: the reference
+        default 9; 3D: density-derived via tree3d.default_max_depth3)."""
+        if self.max_depth is not None:
+            return self.max_depth
+        if self.n_dim == 3:
+            from .ops.tree3d import default_max_depth3
+
+            return default_max_depth3(self.n_bodies)
+        return MAX_DEPTH_DEFAULT
+
+    @property
+    def resolved_direct_cell_max(self) -> Optional[int]:
+        """``direct_cell_max`` with the 2D None-auto resolved to 32; in
+        3D None passes through (the engine resolves its own N-aware
+        threshold, ops.bh3d.direct_cell_max_default)."""
+        if self.direct_cell_max is not None or self.n_dim == 3:
+            return self.direct_cell_max
+        return 32
+
+    @property
     def n_cells_finest(self) -> int:
-        return 1 << self.max_depth  # cells per axis at the deepest level
+        # cells per axis at the deepest level
+        return 1 << self.resolved_max_depth
 
     @property
     def n_tree_nodes(self) -> int:
         """Complete-tree node count; equals the reference QUADTREE_MAX_SIZE
         ((4**(max_depth+1) - 1) / 3, project.cu:62) for max_depth=9."""
-        return (4 ** (self.max_depth + 1) - 1) // 3
+        return (4 ** (self.resolved_max_depth + 1) - 1) // 3
 
     def jnp_dtype(self):
         import jax.numpy as jnp

@@ -52,6 +52,25 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
         interpret = not _on_tpu()
         softening = 0.0  # naive-pair semantics (main_approach_1.cpp:66-67)
 
+        if config.dtype == "float64":
+            # The Pallas kernel is f32-only and refuses f64 inputs
+            # (ops/allpairs.py); float64 configs keep full precision on
+            # the chunked dense XLA path (the reference's all-f64 stance,
+            # project.cu:38-43).
+            from ..physics import pair_accelerations_chunked
+
+            def accel(positions, masses):
+                acc = pair_accelerations_chunked(
+                    positions, masses, g=g, softening=softening
+                )
+                if return_diagnostics:
+                    import jax.numpy as jnp
+
+                    return acc, jnp.zeros((positions.shape[0],), bool)
+                return acc
+
+            return accel
+
         def accel(positions, masses):
             n = positions.shape[0]
             if n < 512:
@@ -96,23 +115,11 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                     "uses the grouped octree engine (bh_mode='grouped')"
                 )
             from ..ops.bh3d import bh3_accelerations_grouped
-            from ..ops.tree3d import default_max_depth3
 
-            # 2D's MAX_DEPTH_DEFAULT=9 would be 8^9 = 134M octree leaves;
-            # resolve the 3D depth from the body count unless the user
-            # overrode it below the 2D default.
-            depth3 = (
-                config.max_depth
-                if config.max_depth not in (None, 9)
-                else default_max_depth3(config.n_bodies)
-            )
-
-            # 32 is the 2D default; the 3D engine resolves its own
-            # N-aware threshold (ops/bh3d.direct_cell_max_default)
-            dcm3 = (
-                None if config.direct_cell_max == 32
-                else config.direct_cell_max
-            )
+            # None-auto resolution (2D's 9 would be 8^9 = 134M octree
+            # leaves); explicit user values are always honored.
+            depth3 = config.resolved_max_depth
+            dcm3 = config.resolved_direct_cell_max
 
             def accel(positions, masses):
                 return bh3_accelerations_grouped(
@@ -144,7 +151,7 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                     masses,
                     g=g,
                     theta=config.theta,
-                    max_depth=config.max_depth,
+                    max_depth=config.resolved_max_depth,
                     softening=config.softening,
                     frontier_cap=config.frontier_cap or 256,
                     return_diagnostics=return_diagnostics,
@@ -160,13 +167,13 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                 masses,
                 g=g,
                 theta=config.theta,
-                max_depth=config.max_depth,
+                max_depth=config.resolved_max_depth,
                 softening=config.softening,
                 group_size=config.group_size,
                 frontier_cap=config.frontier_cap,
                 list_cap=config.list_cap,
                 direct_cap=config.direct_cap,
-                direct_cell_max=config.direct_cell_max,
+                direct_cell_max=config.resolved_direct_cell_max,
                 direct_body_cap=config.direct_body_cap,
                 group_chunk=config.group_chunk,
                 return_diagnostics=return_diagnostics,

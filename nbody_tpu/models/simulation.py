@@ -244,19 +244,19 @@ class Simulation:
         if not enabled:
             return None
         if state.positions.shape[1] == 3:
-            from ..ops.tree3d import default_max_depth3
             from ..utils.metrics import tree_stats_3d
 
-            md = self.config.max_depth
-            if md in (None, 9):  # 2D default: resolve per the 3D engine
-                md = default_max_depth3(state.positions.shape[0])
             return tree_stats_3d(
-                state.positions, state.masses, max_depth=md
+                state.positions,
+                state.masses,
+                max_depth=self.config.resolved_max_depth,
             )
         from ..utils.metrics import tree_stats
 
         return tree_stats(
-            state.positions, state.masses, max_depth=self.config.max_depth
+            state.positions,
+            state.masses,
+            max_depth=self.config.resolved_max_depth,
         )
 
     # ------------------------------------------------------------------
@@ -285,12 +285,12 @@ class Simulation:
             from ..utils import native
 
             text = native.tree_dump(
-                positions, masses, max_depth=cfg.max_depth
+                positions, masses, max_depth=cfg.resolved_max_depth
             )
         except Exception:
             from .oracle import AdaptiveQuadtree
 
-            tree = AdaptiveQuadtree(max_depth=cfg.max_depth).build(
+            tree = AdaptiveQuadtree(max_depth=cfg.resolved_max_depth).build(
                 positions, masses
             )
             text = "\n".join(tree.dump_lines(positions)) + "\n"

@@ -193,7 +193,7 @@ def make_dp_barnes_hut_step(config: SimConfig, mesh: Mesh) -> Callable:
     dt = config.dt
     g = config.g
     theta = config.theta
-    max_depth = config.max_depth
+    max_depth = config.resolved_max_depth
     softening = config.softening
     frontier_cap = config.frontier_cap or 256
 
@@ -267,7 +267,7 @@ def make_dp_barnes_hut_grouped_step(config: SimConfig, mesh: Mesh) -> Callable:
     def step(masses, positions, velocities, time, stepc):
         all_pos = jax.lax.all_gather(positions, axis, axis=0, tiled=True)
         all_m = jax.lax.all_gather(masses, axis, axis=0, tiled=True)
-        tree = build_quadtree(all_pos, all_m, max_depth=config.max_depth)
+        tree = build_quadtree(all_pos, all_m, max_depth=config.resolved_max_depth)
         src_order = jnp.argsort(tree.codes)
         psort = all_pos[src_order]
         acc = grouped_eval(
@@ -283,7 +283,7 @@ def make_dp_barnes_hut_grouped_step(config: SimConfig, mesh: Mesh) -> Callable:
             frontier_cap=config.frontier_cap,
             list_cap=config.list_cap,
             direct_cap=config.direct_cap,
-            direct_cell_max=config.direct_cell_max,
+            direct_cell_max=config.resolved_direct_cell_max,
             direct_body_cap=config.direct_body_cap,
             group_chunk=config.group_chunk,
         )
@@ -303,13 +303,11 @@ def make_dp_barnes_hut_grouped3_step(
     g = config.g
 
     from ..ops.bh3d import grouped_eval_3d
-    from ..ops.tree3d import build_octree, default_max_depth3
+    from ..ops.tree3d import build_octree
 
-    depth3 = (
-        config.max_depth
-        if config.max_depth not in (None, 9)
-        else default_max_depth3(config.n_bodies)
-    )
+    # None-auto resolution; explicit values always honored (no 9/32
+    # sentinel aliasing).
+    depth3 = config.resolved_max_depth
 
     @functools.partial(
         shard_map,
@@ -340,10 +338,7 @@ def make_dp_barnes_hut_grouped3_step(
             frontier_cap=config.frontier_cap,
             list_cap=config.list_cap,
             direct_cap=config.direct_cap,
-            direct_cell_max=(
-                None if config.direct_cell_max == 32
-                else config.direct_cell_max
-            ),
+            direct_cell_max=config.resolved_direct_cell_max,
             direct_body_cap=config.direct_body_cap,
             group_chunk=config.group_chunk,
         )
