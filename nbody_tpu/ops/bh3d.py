@@ -122,9 +122,15 @@ def frontier_schedule_3d(
     import math
 
     hump = direct_cell_max_default(n_bodies) < 128
-    lstar = min(
-        max_depth, max(3, round(math.log(max(n_bodies, 128) / 16, 8)))
-    )
+    # Every level from floor(l*) down gets the full peak: the hump can
+    # only shift DEEPER mid-run (clustering / outlier-driven root-bbox
+    # expansion raise the core's per-cell density — the 2D engine's
+    # measured midsize-N failure, see bh_grouped.frontier_schedule).
+    # The no-hump regime (dcm=128, N >= 512K) keeps its measured flat
+    # peak//2 mid-levels + full-peak max_depth tail; the overflow flag
+    # and the run loop's per-step warning guard pathological states.
+    lf = math.log(max(n_bodies, 128) / 16, 8)
+    lo_star = min(max_depth, max(3, math.floor(lf)))
     shape = []
     for level in range(max_depth + 1):
         if level <= 2:
@@ -133,10 +139,10 @@ def frontier_schedule_3d(
             c = peak  # collapsed-state tail (measured 18,888 @1M blobs)
         elif not hump:
             c = peak // 2
-        elif lstar < level:
-            c = peak // 2
+        elif level >= lo_star:
+            c = peak
         else:
-            c = peak >> min(lstar - level, 3)
+            c = peak >> min(lo_star - level, 3)
         shape.append(int(min(c, peak, 8**level)))
     return tuple(shape)
 
@@ -329,13 +335,16 @@ def _evaluate_pallas_3d(
     softening: float,
     compensated: bool = False,
     eval_chunk: int = 64,
+    dynamic: bool = True,
 ):
     """Chunked over groups: 3D direct sections are wide (the [G, 8, K]
     source table would be ~3-6 GB of HBM at N=1M); materialising the
     gathered superblocks + packed table only ``eval_chunk`` groups at a
-    time bounds peak HBM to ~chunk/G of that while the Pallas grid
-    inside each chunk is unchanged."""
-    from .list_eval import list_eval_pallas
+    time bounds peak HBM to ~chunk/G of that.  ``dynamic`` (default)
+    evaluates each chunk with the occupancy-proportional manual-DMA
+    kernel (list_eval_dynamic) instead of the padded-K-cap grid kernel —
+    the round-2 "1M-scale inefficiency" fix (PERF.md)."""
+    from .list_eval import list_eval_dynamic, list_eval_pallas
 
     f32 = positions_grouped.dtype
     lx, ly, lz, lm = lists
@@ -380,6 +389,14 @@ def _evaluate_pallas_3d(
             ],
             axis=0,
         )  # [2, C]
+        if dynamic and not compensated:
+            return list_eval_dynamic(
+                p.astype(jnp.float32),
+                src,
+                lens,
+                softening=float(softening),
+                section_offset=section,
+            )
         return list_eval_pallas(
             p.astype(jnp.float32),
             src,
@@ -520,6 +537,7 @@ def _evaluate_3d(
         "use_pallas",
         "n_sub",
         "compensated",
+        "eval_dynamic",
     ),
 )
 def bh3_accelerations_grouped(
@@ -541,6 +559,7 @@ def bh3_accelerations_grouped(
     use_pallas: bool | None = None,
     n_sub: int | None = None,
     compensated: bool = False,
+    eval_dynamic: bool = True,
 ):
     """Grouped 3D Barnes-Hut accelerations [N, 3] (+ overflow [N]).
 
@@ -583,6 +602,7 @@ def bh3_accelerations_grouped(
         use_pallas=use_pallas,
         n_sub=n_sub,
         compensated=compensated,
+        eval_dynamic=eval_dynamic,
     )
 
 
@@ -607,6 +627,7 @@ def grouped_eval_3d(
     use_pallas: bool | None = None,
     n_sub: int | None = None,
     compensated: bool = False,
+    eval_dynamic: bool = True,
 ):
     """Grouped 3D evaluation of arbitrary targets against a prebuilt
     octree — the 3D mirror of ops/bh_grouped.grouped_eval (multi-chip:
@@ -689,6 +710,7 @@ def grouped_eval_3d(
             g_const=g,
             softening=softening,
             compensated=compensated,
+            dynamic=eval_dynamic,
         )
     else:
         ax, ay, az = _evaluate_3d(

@@ -115,22 +115,32 @@ def frontier_schedule(
     by distance, and the deepest level at ``peak`` (collapsed tail),
     cutting total gather rows ~3x vs the flat cap at N=64K; the overflow
     flag still guards any distribution that beats it.
+
+    The hump level l* = log4(N/16) holds for a uniform cloud filling the
+    root bbox; it is NOT stable mid-run.  Two measured failure modes
+    (round 3, N=24,576): (a) fractional l* — demand straddles floor(l*)
+    and ceil(l*), and a round()-picked single peak level overflowed at
+    step 0; (b) after one unsoftened close encounter ejects outliers,
+    the root bbox expands and the core's per-cell density rises, shifting
+    the hump DEEPER by log2(bbox growth) — level-7/8 demand then beat
+    peak/2 at step 1.  Clustering and bbox expansion can only ever move
+    the hump deeper (the initial uniform state is the density minimum),
+    so every level from floor(l*) down to max_depth gets the full peak;
+    levels above the hump keep the pruned ramp (their demand is bounded
+    by cell count and geometry, not density).
     """
     import math
 
-    lstar = min(
-        max_depth, max(4, round(math.log(max(n_bodies, 256) / 16, 4)))
-    )
+    lf = math.log(max(n_bodies, 256) / 16, 4)
+    lo_star = min(max_depth, max(4, math.floor(lf)))
     shape = []
     for level in range(max_depth + 1):
         if level <= 3:
             c = 4**level
-        elif level == max_depth:
+        elif level >= lo_star:
             c = peak
-        elif lstar < level:
-            c = peak // 2
         else:
-            c = peak >> min(lstar - level, 3)
+            c = peak >> min(lo_star - level, 3)
         shape.append(int(min(c, peak, 4**level)))
     return tuple(shape)
 
@@ -165,6 +175,7 @@ def _collect_lists(
     list_cap: int,
     direct_cap: int,
     direct_cell_max: int,
+    window_cells=None,
 ):
     """Per-group interaction lists via a dual (cell-vs-group-bbox) walk.
 
@@ -187,6 +198,16 @@ def _collect_lists(
     Returns (cells [G, L, 3] (x, y, mass) zero-mass padded,
              ranges [G, D, 2] (start, count) zero-count padded,
              overflow [G] bool).
+
+    ``window_cells=(c_lo, c_hi)`` (traced leaf-cell scalars) restricts
+    direct emission to cells whose leaf span lies inside
+    [c_lo, c_hi] — the sharded multi-chip mode's locally-resident
+    source window.  Out-of-window close cells keep OPENING instead and
+    terminate as singleton cells / max-depth aggregates, which need only
+    the replicated pyramid — exactly the reference DFS's own treatment
+    of every close cell (it never does pairwise-beyond-singletons), so
+    physics stays within the reference approximation class while no
+    chip ever touches a non-resident body.
     """
     # Sub-bboxes: each group carries Q bounding boxes (quarters of its
     # Morton run).  d_min = min over sub-boxes is a tighter-but-still-valid
@@ -264,6 +285,15 @@ def _collect_lists(
             & (level != max_depth)
             & (cnt <= direct_cell_max)
         )
+        if window_cells is not None:
+            # pure int math on the frontier (no gathers): a cell at this
+            # level spans leaf cells [idx << s, (idx + 1) << s)
+            c_lo, c_hi = window_cells
+            shift_w = 2 * (max_depth - level)
+            in_win = ((idx << shift_w) >= c_lo) & (
+                ((idx + 1) << shift_w) <= c_hi + 1
+            )
+            direct = direct & in_win
 
         app_x.append(cx)
         app_y.append(cy)
@@ -337,12 +367,18 @@ def _evaluate_pallas(
     g_const: float,
     softening: float,
     compensated: bool = False,
+    dynamic: bool = True,
 ):
     """Build the combined packed source list [G, 8, K] (approx cells +
     masked superblock bodies) in XLA — cheap, it is only the gathered data
-    itself — then evaluate bodies x list in the Pallas streaming kernel
-    (ops.list_eval), which keeps all pairwise intermediates in VMEM."""
-    from .list_eval import list_eval_pallas
+    itself — then evaluate bodies x list in a Pallas streaming kernel
+    (ops.list_eval), which keeps all pairwise intermediates in VMEM.
+
+    ``dynamic`` (default) uses the occupancy-proportional manual-DMA
+    kernel (list_eval_dynamic: per-group cost ~ actual list length);
+    ``compensated`` forces the grid kernel (the Kahan path lives there).
+    """
+    from .list_eval import list_eval_dynamic, list_eval_pallas
 
     f32 = positions_grouped.dtype
     lx, ly, lm = lists
@@ -414,14 +450,23 @@ def _evaluate_pallas(
         axis=0,
     )  # [2, G]: SMEM-friendly layout (see list_eval_pallas)
 
-    acc = list_eval_pallas(
-        positions_grouped.astype(jnp.float32),
-        src,
-        lens,
-        softening=float(softening),
-        section_offset=lx.shape[1],
-        compensated=compensated,
-    )
+    if dynamic and not compensated:
+        acc = list_eval_dynamic(
+            positions_grouped.astype(jnp.float32),
+            src,
+            lens,
+            softening=float(softening),
+            section_offset=lx.shape[1],
+        )
+    else:
+        acc = list_eval_pallas(
+            positions_grouped.astype(jnp.float32),
+            src,
+            lens,
+            softening=float(softening),
+            section_offset=lx.shape[1],
+            compensated=compensated,
+        )
     return acc[:, :, 0], acc[:, :, 1]
 
 
@@ -605,6 +650,7 @@ def _evaluate(
         "use_pallas",
         "n_sub",
         "compensated",
+        "eval_dynamic",
     ),
 )
 def bh_accelerations_grouped(
@@ -626,6 +672,7 @@ def bh_accelerations_grouped(
     use_pallas: bool | None = None,
     n_sub: int | None = None,
     compensated: bool = False,
+    eval_dynamic: bool = True,
 ):
     """Grouped Barnes-Hut accelerations [N, 2] (+ overflow [N] optional).
 
@@ -665,6 +712,7 @@ def bh_accelerations_grouped(
         use_pallas=use_pallas,
         n_sub=n_sub,
         compensated=compensated,
+        eval_dynamic=eval_dynamic,
     )
 
 
@@ -692,6 +740,10 @@ def grouped_eval(
     use_pallas: bool | None = None,
     n_sub: int | None = None,
     compensated: bool = False,
+    eval_dynamic: bool = True,
+    window_cells=None,
+    range_offset=None,
+    n_sources_hint: int | None = None,
 ):
     """Grouped evaluation of arbitrary targets against a prebuilt tree.
 
@@ -702,12 +754,25 @@ def grouped_eval(
     sources).  Self-exclusion needs no indices: a target meeting its own
     singleton cell or its own entry in a direct range sees a bit-equal
     position and is dropped by the d2 > 0 guard.
+
+    Sharded-source mode (parallel.make_dp_barnes_hut_sharded_step):
+    ``sorted_*`` may instead hold only a Morton-contiguous *window* of
+    the global sorted order — then ``window_cells=(c_lo, c_hi)`` (leaf
+    cells the window fully covers) gates direct emission to resident
+    cells (out-of-window close cells open to max-depth aggregates, the
+    reference DFS's own close-cell treatment), ``range_offset`` is the
+    global index of the window array's first slot, and
+    ``n_sources_hint`` keys the cap calibration to the GLOBAL body
+    count (caps scale with density, which the window alone understates).
     """
     n = target_positions.shape[0]
     f32 = target_positions.dtype
 
     # caps scale with the SOURCE cloud size (density sets demand)
-    defaults = cap_defaults(group_size, sorted_x.shape[0])
+    defaults = cap_defaults(
+        group_size,
+        n_sources_hint if n_sources_hint else sorted_x.shape[0],
+    )
     frontier_cap = frontier_cap or defaults["frontier_cap"]
     list_cap = list_cap or defaults["list_cap"]
     direct_cap = direct_cap or defaults["direct_cap"]
@@ -755,12 +820,23 @@ def grouped_eval(
         theta=theta,
         softening=softening,
         frontier_caps=frontier_schedule(
-            frontier_cap, tree.max_depth, sorted_x.shape[0]
+            frontier_cap,
+            tree.max_depth,
+            n_sources_hint if n_sources_hint else sorted_x.shape[0],
         ),
         list_cap=list_cap,
         direct_cap=direct_cap,
         direct_cell_max=direct_cell_max,
+        window_cells=window_cells,
     )
+    if range_offset is not None:
+        # window-local body indices (the sorted_* arrays start at global
+        # slot ``range_offset``); in-window ranges stay non-negative
+        ranges = ranges.at[:, :, 0].set(
+            jnp.where(
+                ranges[:, :, 1] > 0, ranges[:, :, 0] - range_offset, 0
+            )
+        )
     # Both 2D and 3D ship the static per-cell expansion: the merged-run
     # pipeline (interval union + variable-length enumeration) was
     # measured end-to-end and LOST in both (2D 64K 6.8 vs 5.6 ms/step;
@@ -785,6 +861,7 @@ def grouped_eval(
             g_const=g,
             softening=softening,
             compensated=compensated,
+            dynamic=eval_dynamic,
         )
     else:
         cells = jnp.stack([lx, ly, lm], axis=-1)  # [G, L, 3]

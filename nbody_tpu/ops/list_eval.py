@@ -124,6 +124,203 @@ def _kernel(
                 )
 
 
+def _dyn_kernel(
+    lens_ref,  # SMEM [2, G] occupied section lengths
+    tgt_ref,  # (1, S, 8) VMEM group body block
+    src_hbm,  # [G, 8, K] packed sources, resident in HBM (ANY)
+    out_ref,  # (1, S, 8) VMEM
+    acc_ref,  # VMEM scratch (S, 8)
+    buf_ref,  # VMEM scratch (2, 8, K_TILE) double buffer
+    sem_ref,  # DMA semaphores (2,)
+    *,
+    softening,
+    k_tile,
+    off_tile,
+    s_tile,
+    n_s_tiles,
+    dims,
+):
+    i = pl.program_id(0)
+    kt = jnp.int32(k_tile)
+    a_t = (lens_ref[0, i] + kt - 1) // kt  # occupied approx tiles
+    d_t = (lens_ref[1, i] + kt - 1) // kt  # occupied direct tiles
+    n_t = a_t + d_t  # dynamic trip count: THE point of this kernel
+
+    def tile_j(t):
+        # loop step t -> tile index in K: approx tiles first, then the
+        # direct section starting at off_tile
+        return jnp.where(t < a_t, t, off_tile + (t - a_t))
+
+    def get_dma(slot, t):
+        return pltpu.make_async_copy(
+            src_hbm.at[i, :, pl.ds(tile_j(t) * kt, k_tile)],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    @pl.when(n_t > 0)
+    def _warmup():
+        get_dma(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < n_t)
+        def _prefetch():
+            get_dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+        get_dma(slot, t).wait()
+        src = buf_ref[slot]  # (8, K_TILE)
+        gm = src[dims : dims + 1, :]
+        # Partial trailing tiles need no explicit length mask: lists are
+        # left-compacted with zero-padded tails (gm == 0 there), and the
+        # K region between sections is zero too, so the gm > 0 guard
+        # kills every non-occupied lane.
+        for si in range(n_s_tiles):
+            tgt = tgt_ref[0, si * s_tile : (si + 1) * s_tile, :]
+            d2 = None
+            disp = []
+            for ax in range(dims):
+                da = src[ax : ax + 1, :] - tgt[:, ax : ax + 1]
+                disp.append(da)
+                d2 = da * da if d2 is None else d2 + da * da
+            valid = (d2 > 0.0) & (gm > 0.0)
+            inv_d = jax.lax.rsqrt(d2)
+            d = d2 * inv_d
+            w = jnp.where(
+                valid, gm / (d2 * (d + jnp.float32(softening))), 0.0
+            )
+            for col, da in enumerate(disp):
+                v = jnp.sum(w * da, axis=1, keepdims=True)
+                acc_ref[
+                    si * s_tile : (si + 1) * s_tile, col : col + 1
+                ] = acc_ref[
+                    si * s_tile : (si + 1) * s_tile, col : col + 1
+                ] + v
+        return 0
+
+    jax.lax.fori_loop(0, n_t, body, 0)
+    out_ref[0, :, :] = acc_ref[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "softening", "section_offset", "k_tile", "s_tile", "interpret",
+    ),
+)
+def list_eval_dynamic(
+    targets: jax.Array,  # [G, S, D] group body positions (D = 2 or 3)
+    sources: jax.Array,  # [G, 8, K] packed rows (see list_eval_pallas)
+    lens: jax.Array,  # [2, G] int32 occupied section lengths
+    *,
+    softening: float,
+    section_offset: int,
+    k_tile: int = 2048,
+    s_tile: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Occupancy-proportional list evaluation: dynamic trip counts.
+
+    The grid-based kernel (:func:`list_eval_pallas`) must iterate every
+    k tile of the static K cap; its DMA/compute skip makes padding tiles
+    cheap but not free, and at 3D/1M scale the cap is ~20-40x the median
+    occupancy (~580 padded tiles vs ~25K occupied lanes, PERF.md "Known
+    1M-scale inefficiency") — the grid iteration itself dominates.  Here
+    the grid is one step per group and a ``fori_loop`` with a *dynamic*
+    trip count walks exactly the occupied tiles of the two list sections,
+    double-buffering each (8, K_TILE) tile HBM->VMEM with manual DMA
+    (sources stay in HBM via ``memory_space=ANY``).  Cost per group is
+    proportional to its ACTUAL list length — the reference's
+    spend-only-on-resident-data discipline (project.cu:971-974) taken to
+    its TPU conclusion.
+
+    Same contract as :func:`list_eval_pallas` (zero-padded tails; the
+    d2 > 0 / gm > 0 guards drop padding and self-pairs).  Returns
+    [G, S, D] accelerations.
+    """
+    if jax.config.jax_enable_x64 and not interpret:
+        raise ValueError(
+            "list_eval_dynamic requires jax_enable_x64=False (TPU Mosaic "
+            "has no int64/f64 lowering); for f64 physics use the NumPy "
+            "oracle (nbody_tpu.models.oracle) or the native C++ engine"
+        )
+    g, s, dims = targets.shape
+    if s % s_tile:
+        s_tile = s if s < s_tile else math.gcd(s, s_tile)
+    k_tile = min(k_tile, max(128, _VMEM_BUDGET // (_LIVE * s_tile * 4)))
+    k_tile = k_tile // 128 * 128
+    if k_tile < 128:
+        raise ValueError(
+            f"target tile {s_tile} too large for the "
+            f"{_VMEM_BUDGET // 2**20} MB VMEM budget; reduce s_tile"
+        )
+    if section_offset % k_tile:
+        k_tile = math.gcd(section_offset, k_tile)
+        if k_tile % 128:
+            raise ValueError(
+                f"section_offset {section_offset} not tileable (need a "
+                "multiple of 128 that also divides it); pad the approx "
+                "section"
+            )
+    k = sources.shape[2]
+    if k % k_tile:
+        pad = k_tile - k % k_tile
+        sources = jnp.pad(sources, ((0, 0), (0, 0), (0, pad)))
+        k += pad
+    n_s_tiles = s // s_tile
+    off_tile = section_offset // k_tile
+
+    tgt = jnp.zeros((g, s, 8), jnp.float32).at[:, :, 0:dims].set(targets)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s, 8), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s, 8), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((s, 8), jnp.float32),
+            pltpu.VMEM((2, 8, k_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _dyn_kernel,
+            softening=float(softening),
+            k_tile=k_tile,
+            off_tile=off_tile,
+            s_tile=s_tile,
+            n_s_tiles=n_s_tiles,
+            dims=dims,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, s, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * g * s * k,
+            bytes_accessed=(g * s * 8 + g * 8 * k + g * s * 8) * 4,
+            transcendentals=g * s * k,
+        ),
+        interpret=interpret,
+    )(lens.astype(jnp.int32), tgt, sources)
+    return out[:, :, 0:dims]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -150,21 +150,28 @@ def test_list_eval_pallas_3d_interpret(cloud3):
     # the symbol inside the function, so patching the module suffices
     import nbody_tpu.ops.list_eval as le
 
-    orig = le.list_eval_pallas
+    orig_grid = le.list_eval_pallas
+    orig_dyn = le.list_eval_dynamic
 
-    def interp(*args, **kw):
+    def interp_grid(*args, **kw):
         kw["interpret"] = True
-        return orig(*args, **kw)
+        return orig_grid(*args, **kw)
+
+    def interp_dyn(*args, **kw):
+        kw["interpret"] = True
+        return orig_dyn(*args, **kw)
 
     try:
-        le.list_eval_pallas = interp
+        le.list_eval_pallas = interp_grid
+        le.list_eval_dynamic = interp_dyn
         a_pl = np.asarray(
             bh3_accelerations_grouped(
                 pos, m, g=G, theta=0.5, use_pallas=True
             )
         )
     finally:
-        le.list_eval_pallas = orig
+        le.list_eval_pallas = orig_grid
+        le.list_eval_dynamic = orig_dyn
     scale = np.abs(a_xla).max()
     assert np.abs(a_pl - a_xla).max() / scale < 1e-5
 

@@ -1,14 +1,26 @@
-"""Pallas list-evaluation kernel vs a dense XLA reference (interpret mode
-on CPU; the TPU path is exercised by bh_grouped's use_pallas default)."""
+"""Pallas list-evaluation kernels vs a dense XLA reference (interpret
+mode on CPU; the TPU path is exercised by bh_grouped's use_pallas
+default).
+
+Two kernels share one contract (ops/list_eval): the grid kernel
+(list_eval_pallas, static K-cap grid with DMA/compute skip) and the
+dynamic kernel (list_eval_dynamic, manual double-buffered DMA with a
+per-group dynamic trip count — the occupancy-proportional evaluator).
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from nbody_tpu.ops.list_eval import list_eval_pallas
+from nbody_tpu.ops.list_eval import list_eval_dynamic, list_eval_pallas
 
 INTERPRET = jax.default_backend() != "tpu"
+
+KERNELS = {
+    "grid": list_eval_pallas,
+    "dynamic": list_eval_dynamic,
+}
 
 
 def _dense_reference(tgt, src, eps):
@@ -24,9 +36,11 @@ def _dense_reference(tgt, src, eps):
     return jnp.stack([jnp.sum(w * dx, -1), jnp.sum(w * dy, -1)], -1)
 
 
-def test_matches_dense_with_sparse_tiles():
+@pytest.mark.parametrize("kernel", sorted(KERNELS))
+def test_matches_dense_with_sparse_tiles(kernel):
     """Occupied, empty, and partially-occupied tiles (exercises the
-    per-tile skip flags) must agree with the dense evaluation."""
+    per-tile skip flags / dynamic trip counts) must agree with the dense
+    evaluation."""
     rng = np.random.default_rng(0)
     g, s, k = 3, 64, 1024
     tgt = jnp.asarray(rng.uniform(-1, 1, (g, s, 2)), jnp.float32)
@@ -52,7 +66,7 @@ def test_matches_dense_with_sparse_tiles():
         axis=0,
     )
     got = np.asarray(
-        list_eval_pallas(
+        KERNELS[kernel](
             tgt, src, lens, softening=1e-15, section_offset=k,
             k_tile=256, interpret=INTERPRET,
         )
@@ -62,7 +76,8 @@ def test_matches_dense_with_sparse_tiles():
     assert np.all(got[2] == 0.0)  # fully-empty group
 
 
-def test_self_exclusion_d2_guard():
+@pytest.mark.parametrize("kernel", sorted(KERNELS))
+def test_self_exclusion_d2_guard(kernel):
     """A source bit-equal to a target contributes nothing."""
     tgt = jnp.asarray([[[0.25, -0.5]] * 8], jnp.float32)
     src = jnp.zeros((1, 8, 256), jnp.float32)
@@ -70,8 +85,36 @@ def test_self_exclusion_d2_guard():
     src = src.at[0, 2, 0].set(1.0)  # the target itself as a source
     lens = jnp.asarray([[1], [0]], jnp.int32)
     out = np.asarray(
-        list_eval_pallas(tgt, src, lens, softening=1e-15,
-                         section_offset=256, k_tile=256,
-                         interpret=INTERPRET)
+        KERNELS[kernel](tgt, src, lens, softening=1e-15,
+                        section_offset=256, k_tile=256,
+                        interpret=INTERPRET)
     )
     assert np.all(out == 0.0)
+
+
+def test_dynamic_matches_grid_two_sections():
+    """Randomized two-section lists (varying per-group occupancy incl.
+    zero): the dynamic kernel must reproduce the grid kernel exactly —
+    same math, different scheduling."""
+    rng = np.random.default_rng(7)
+    g, s, d, k, off = 4, 256, 2, 1024, 512
+    tgt = jnp.asarray(rng.uniform(-0.1, 0.1, (g, s, d)), jnp.float32)
+    src = np.zeros((g, 8, k), np.float32)
+    lens = np.zeros((2, g), np.int32)
+    occupancies = [(0, 0), (1, 511), (500, 0), (512, 512)]
+    for gi, (a_n, d_n) in enumerate(occupancies):
+        lens[0, gi] = a_n
+        lens[1, gi] = d_n
+        src[gi, 0:d, :a_n] = rng.uniform(-0.1, 0.1, (d, a_n))
+        src[gi, d, :a_n] = rng.uniform(0.01, 1.0, a_n)
+        src[gi, 0:d, off:off + d_n] = rng.uniform(-0.1, 0.1, (d, d_n))
+        src[gi, d, off:off + d_n] = rng.uniform(0.01, 1.0, d_n)
+    kw = dict(softening=1e-15, section_offset=off, k_tile=256,
+              s_tile=128, interpret=INTERPRET)
+    a = KERNELS["grid"](jnp.asarray(tgt), jnp.asarray(src),
+                        jnp.asarray(lens), **kw)
+    b = KERNELS["dynamic"](jnp.asarray(tgt), jnp.asarray(src),
+                           jnp.asarray(lens), **kw)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-12
+    )
