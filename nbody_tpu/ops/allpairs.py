@@ -175,6 +175,21 @@ def allpairs_accelerations_vs(
     ``d2 > 0`` guard, so no index bookkeeping crosses device boundaries.
     Returns (Nt, D).
     """
+    if not interpret and any(
+        a.dtype == jnp.float64
+        for a in (target_positions, source_positions, source_masses)
+    ):
+        # Mirror list_eval_pallas's stance: never silently downcast a
+        # float64 request to f32 physics (the reference is all-f64,
+        # project.cu:38-43).  models.engines routes float64 configs to
+        # the chunked dense XLA path instead of reaching this kernel.
+        raise ValueError(
+            "allpairs Pallas kernel is f32-only (TPU Mosaic has no f64 "
+            "lowering); for float64 use physics.pair_accelerations_"
+            "chunked (the engine route for dtype='float64'), the NumPy "
+            "f64 oracle (nbody_tpu.models.oracle), or the native C++ "
+            "engine"
+        )
     nt, dims = target_positions.shape
     ns = source_positions.shape[0]
     target_positions = target_positions.astype(jnp.float32)
@@ -268,6 +283,120 @@ def allpairs_accelerations(
         interpret=interpret,
         compensated=compensated,
     )
+
+
+def _potential_kernel(
+    tgt_ref,  # (TB, 8) f32: cols [x, y, (z,) 0...]
+    src_ref,  # (8, SB) f32: rows [x, y, (z,) g*m, 0...]
+    out_ref,  # (TB, 8) f32: col 0 = per-body potential
+    acc_ref,  # VMEM scratch (TB, 8)
+    *,
+    n_src_tiles: int,
+    dims: int = 2,
+):
+    s = pl.program_id(1)
+    d2 = None
+    for ax in range(dims):
+        da = src_ref[ax : ax + 1, :] - tgt_ref[:, ax : ax + 1]
+        d2 = da * da if d2 is None else d2 + da * da
+    gm = src_ref[dims : dims + 1, :]
+    valid = (d2 > 0.0) & (gm > 0.0)
+    inv_d = jax.lax.rsqrt(d2)
+    # phi contribution: -g*m_j / d  (unsoftened, matching the dense
+    # potential_energy diagnostic)
+    phi = jnp.where(valid, -gm * inv_d, 0.0)
+    v = jnp.sum(phi, axis=1, keepdims=True)
+
+    @pl.when(s == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        acc_ref[:, 0:1] = v
+
+    @pl.when(s != 0)
+    def _acc():
+        acc_ref[:, 0:1] = acc_ref[:, 0:1] + v
+
+    @pl.when(s == n_src_tiles - 1)
+    def _write():
+        out_ref[:, :] = acc_ref[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "target_block", "source_block", "interpret"),
+)
+def allpairs_potential(
+    positions: jax.Array,  # (N, D)
+    masses: jax.Array,  # (N,)
+    *,
+    g: float,
+    target_block: int = 512,
+    source_block: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-body gravitational potential phi_i = sum_j -g*m_j/d_ij via the
+    tiled kernel (PE = 0.5 * sum_i m_i * phi_i).
+
+    The O(N^2) reduction that makes ``total_energy`` finite at flagship
+    scales (round-2 verdict item 6) — the dense [N, N] diagnostic
+    (physics.potential_energy) stops being representable long before
+    N=64K.  Same tiling/VMEM discipline as the force kernel.
+    """
+    if not interpret and positions.dtype == jnp.float64:
+        raise ValueError(
+            "allpairs_potential is f32-only on TPU; use "
+            "physics.potential_energy_scalable (it routes f64 to the "
+            "chunked dense path)"
+        )
+    n, dims = positions.shape
+    positions = positions.astype(jnp.float32)
+    masses = masses.astype(jnp.float32)
+    n_pad_t = _round_up(max(n, target_block), target_block)
+    n_pad_s = _round_up(max(n, source_block), source_block)
+
+    tgt = jnp.zeros((n_pad_t, 8), dtype=jnp.float32)
+    tgt = tgt.at[:n, 0:dims].set(positions)
+    tgt = tgt.at[n:, 0:dims].set(_PAD_SENTINEL)
+    src = jnp.zeros((8, n_pad_s), dtype=jnp.float32)
+    src = src.at[0:dims, :n].set(positions.T)
+    src = src.at[0:dims, n:].set(_PAD_SENTINEL)
+    src = src.at[dims, :n].set(jnp.asarray(g, jnp.float32) * masses)
+
+    n_tgt_tiles = n_pad_t // target_block
+    n_src_tiles = n_pad_s // source_block
+    out = pl.pallas_call(
+        functools.partial(
+            _potential_kernel, n_src_tiles=n_src_tiles, dims=dims
+        ),
+        grid=(n_tgt_tiles, n_src_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (target_block, 8),
+                lambda t, s: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, source_block),
+                lambda t, s: (0, s),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (target_block, 8), lambda t, s: (t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad_t, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((target_block, 8), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_pad_t * n_pad_s,
+            bytes_accessed=(n_pad_t * 8 * 2 + 8 * n_pad_s) * 4,
+            transcendentals=n_pad_t * n_pad_s,
+        ),
+        interpret=interpret,
+    )(tgt, src)
+    return out[:n, 0]
 
 
 def allpairs_accelerations_reference(

@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..physics import kinetic_energy, potential_energy, total_momentum
+from ..physics import (
+    kinetic_energy,
+    potential_energy_scalable,
+    total_momentum,
+)
 from ..state import SimState
 
 
@@ -40,14 +44,16 @@ class MetricsWriter:
     def __init__(self, path: str, g: float, with_potential: bool = True):
         self.path = path
         self.g = g
-        # potential is O(N^2); allow disabling for large N
+        # potential is O(N^2) FLOPs but bounded memory at any N
+        # (physics.potential_energy_scalable: Pallas reduction on TPU,
+        # chunked XLA elsewhere); opt out to skip the FLOPs entirely
         self.with_potential = with_potential
         self.rows = []
 
     def record(self, state: SimState, tree_stats: Optional[dict] = None):
         ke = float(kinetic_energy(state))
-        if self.with_potential and state.n_bodies <= 16384:
-            pe = float(potential_energy(state, self.g))
+        if self.with_potential:
+            pe = float(potential_energy_scalable(state, self.g))
         else:
             pe = float("nan")
         mom = np.asarray(total_momentum(state))
