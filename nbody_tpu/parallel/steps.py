@@ -22,6 +22,10 @@ communication is XLA collectives over ICI:
   into leaf aggregates (segment_sum), one psum replicates the global
   pyramid, then each chip traverses only its own body shard.
   Comm: O(tree) per step, independent of N.
+* ``dp_barnes_hut_sharded`` — grouped-evaluation speed with per-chip
+  source storage O(N/devices + tree): psum'd pyramid + ppermute halo
+  slabs + window-gated direct ranges (see
+  make_dp_barnes_hut_sharded_step).  The scalable-memory fast path.
 
 All steps fuse the semi-implicit Euler update (a -> v -> p,
 project.cu:819-836) into the same jitted program.
@@ -40,6 +44,7 @@ from jax import shard_map
 from ..config import SimConfig
 from ..ops.barnes_hut import traverse_accelerations
 from ..ops.tree import (
+    RAW_CNT,
     leaf_raw,
     morton_codes,
     pyramid_from_raw,
@@ -292,6 +297,179 @@ def make_dp_barnes_hut_grouped_step(config: SimConfig, mesh: Mesh) -> Callable:
     return _wrap_state_step(step)
 
 
+def make_dp_barnes_hut_sharded_step(config: SimConfig, mesh: Mesh) -> Callable:
+    """Grouped-speed Barnes-Hut WITHOUT full-cloud replication.
+
+    The round-2 gap this closes: ``dp_barnes_hut_grouped`` (the fast
+    mode) all_gathers ALL bodies per chip — per-chip memory O(N) — while
+    ``dp_barnes_hut`` (the O(tree)-comm mode) pays the ~1000x-slower
+    per-body exact traversal.  Here per-chip source storage is
+    O(N/devices + tree) *by construction* and evaluation is the grouped
+    engine:
+
+    1. one psum of the packed leaf rows replicates the global pyramid
+       (O(tree) comm, as ``dp_barnes_hut``);
+    2. each chip Morton-sorts its OWN bodies and swaps sorted slabs with
+       its ring neighbours via TWO ppermutes (O(N/devices) comm) — the
+       3-slab window [left | own | right];
+    3. the window is re-sorted by code and placed at its *global*
+       Morton-sorted indices: the global leaf counts (from the psum)
+       locate the window's first fully-covered cell, and a complete
+       sorted window IS the global order restricted to
+       [leaf_cum[c_lo], leaf_cum[c_hi+1]) — verified by a count match,
+       no per-body communication;
+    4. the grouped traversal gates direct-range emission to the resident
+       window (``window_cells``): close cells outside it open to
+       singleton cells / max-depth aggregates served by the replicated
+       pyramid — the reference DFS's own close-cell treatment
+       (project.cu:641-658), so the result stays within the reference
+       approximation class;
+    5. evaluation = the grouped/streaming path on the local window.
+
+    Bodies stay owner-sharded (no global redistribution): chips should
+    be *seeded* with contiguous global-Morton slabs (shard_state on a
+    Morton-sorted state) so the 3-slab window covers each chip's code
+    span; the count-match guard degrades gracefully (empty window -> all
+    close cells aggregate) if drift ever breaks coverage.  This realizes
+    the reference report's named scaling blocker — parallel-friendly
+    tree distribution (project_report.pdf p.7) — at weak-scaling body
+    counts one chip cannot replicate (second_scaling_script.sh:4-9).
+    """
+    axis = config.mesh.axis_name
+    n_dev = mesh.shape[axis]
+    dt = config.dt
+    g = config.g
+    md = config.resolved_max_depth
+
+    from ..ops.bh_grouped import grouped_eval
+    from ..ops.tree import leaf_raw, morton_codes, pyramid_from_raw
+
+    perm_from_left = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_from_right = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        check_vma=False,
+    )
+    def step(masses, positions, velocities, time, stepc):
+        f32 = positions.dtype
+        # global root bounds (ComputeRootBounds over all shards)
+        x = positions[:, 0]
+        y = positions[:, 1]
+        x_min = jax.lax.pmin(jnp.min(x), axis)
+        x_max = jax.lax.pmax(jnp.max(x), axis)
+        y_min = jax.lax.pmin(jnp.min(y), axis)
+        y_max = jax.lax.pmax(jnp.max(y), axis)
+        max_dim = jnp.maximum(x_max - x_min, y_max - y_min)
+        pad = jnp.where(max_dim == 0.0, 1e-6, 0.1 * max_dim)
+        bounds = jnp.stack(
+            [x_min - pad, x_max + pad, y_min - pad, y_max + pad]
+        )
+
+        codes = morton_codes(positions, bounds, md)
+        raw = jax.lax.psum(leaf_raw(positions, masses, codes, md), axis)
+        tree = pyramid_from_raw(raw, bounds, codes, md, dtype=f32)
+
+        # local Morton sort of the chip's own bodies
+        csort, sx, sy, sgm = jax.lax.sort(
+            [codes, positions[:, 0], positions[:, 1],
+             jnp.asarray(g, f32) * masses],
+            dimension=0, num_keys=1, is_stable=False,
+        )
+        own = jnp.stack([sx, sy, sgm], axis=1)  # [nl, 3]
+
+        if n_dev > 2:
+            from_l = jax.lax.ppermute(own, axis, perm_from_left)
+            cl = jax.lax.ppermute(csort, axis, perm_from_left)
+            from_r = jax.lax.ppermute(own, axis, perm_from_right)
+            cr = jax.lax.ppermute(csort, axis, perm_from_right)
+            win = jnp.concatenate([from_l, own, from_r], axis=0)
+            wc = jnp.concatenate([cl, csort, cr], axis=0)
+            wc, wx, wy, wgm = jax.lax.sort(
+                [wc, win[:, 0], win[:, 1], win[:, 2]],
+                dimension=0, num_keys=1, is_stable=False,
+            )
+        elif n_dev == 2:
+            # left neighbour == right neighbour: ONE halo, else the
+            # window would hold the other slab twice and the coverage
+            # count could never match
+            from_l = jax.lax.ppermute(own, axis, perm_from_left)
+            cl = jax.lax.ppermute(csort, axis, perm_from_left)
+            wc = jnp.concatenate([cl, csort], axis=0)
+            win = jnp.concatenate([from_l, own], axis=0)
+            wc, wx, wy, wgm = jax.lax.sort(
+                [wc, win[:, 0], win[:, 1], win[:, 2]],
+                dimension=0, num_keys=1, is_stable=False,
+            )
+        else:
+            wc, wx, wy, wgm = csort, sx, sy, sgm
+
+        # place the window at its global Morton-sorted indices
+        leaf_cnt = raw[:, RAW_CNT].astype(jnp.int32)
+        leaf_cum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(leaf_cnt).astype(jnp.int32)]
+        )
+        c_min = wc[0]
+        c_max = wc[-1]
+        complete_lo = jnp.sum(wc == c_min) == leaf_cnt[c_min]
+        complete_hi = jnp.sum(wc == c_max) == leaf_cnt[c_max]
+        c_lo = jnp.where(complete_lo, c_min, c_min + 1)
+        c_hi = jnp.where(complete_hi, c_max, c_max - 1)
+        c_hi = jnp.maximum(c_hi, c_lo - 1)  # may be empty
+        g0 = leaf_cum[c_lo]
+        g1 = leaf_cum[c_hi + 1]
+        n_range = g1 - g0
+        n_in = jnp.sum((wc >= c_lo) & (wc <= c_hi))
+        ok = n_in == n_range
+        # degraded mode on coverage failure (ownership drifted >1 slab):
+        # empty window -> every close cell aggregates at max depth
+        g0 = jnp.where(ok, g0, 0)
+        c_lo_eff = jnp.where(ok, c_lo, 1)
+        c_hi_eff = jnp.where(ok, c_hi, 0)
+        n_range = jnp.where(ok, n_range, 0)
+
+        # align: window slot i holds global index base + i, 8-aligned
+        pad8 = g0 % 8
+        base = g0 - pad8
+        n_below = jnp.sum(wc < c_lo)
+        shift = pad8 - n_below
+        wx = jnp.roll(wx, shift)
+        wy = jnp.roll(wy, shift)
+        wgm = jnp.roll(wgm, shift)
+        slot = jnp.arange(wx.shape[0], dtype=jnp.int32)
+        live = (slot >= pad8) & (slot < pad8 + n_range)
+        wgm = jnp.where(live, wgm, 0.0)
+
+        acc = grouped_eval(
+            positions,
+            tree,
+            sorted_x=wx,
+            sorted_y=wy,
+            sorted_gm=wgm,
+            g=g,
+            theta=config.theta,
+            softening=config.softening,
+            group_size=config.group_size,
+            frontier_cap=config.frontier_cap,
+            list_cap=config.list_cap,
+            direct_cap=config.direct_cap,
+            direct_cell_max=config.resolved_direct_cell_max,
+            direct_body_cap=config.direct_body_cap,
+            group_chunk=config.group_chunk,
+            target_codes=codes,
+            window_cells=(c_lo_eff, c_hi_eff),
+            range_offset=base,
+            n_sources_hint=positions.shape[0] * n_dev,
+        )
+        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+
+    return _wrap_state_step(step)
+
+
 def make_dp_barnes_hut_grouped3_step(
     config: SimConfig, mesh: Mesh
 ) -> Callable:
@@ -375,6 +553,7 @@ STEP_BUILDERS = {
     "ring_allpairs": make_ring_allpairs_step,
     "dp_barnes_hut": make_dp_barnes_hut_step,
     "dp_barnes_hut_grouped": make_dp_barnes_hut_grouped_step,
+    "dp_barnes_hut_sharded": make_dp_barnes_hut_sharded_step,
     "dp_barnes_hut_grouped3": make_dp_barnes_hut_grouped3_step,
     "dp2d_allpairs": make_dp2d_allpairs_step,
 }
