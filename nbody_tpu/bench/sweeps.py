@@ -4,7 +4,11 @@ Reproduces the two protocols:
 
 * strong scaling — fixed problem size, vary processor count
   (first_scaling_script.sh: 40,000 bodies, threads 1..40,000, 5 repeats,
-  10 steps).  Processors here are chips on the dp mesh.
+  10 steps).  Processors here are chips on the dp mesh — or, with
+  ``--sweep-axis group-chunk|tiles``, an *intra-chip* parallelism
+  granularity, the moral equivalent of the reference's N_THREADS axis
+  (its grid is sized from N_THREADS precisely so processor count is an
+  independent variable, project.cu:983) observable on a single chip.
 * weak scaling — problem size per processor fixed
   (second_scaling_script.sh: bodies=threads 1:1).
 * bodies — vary N on fixed devices (the reference's weak-scaling axis as
@@ -15,14 +19,31 @@ plot_first_scale.py / plot_second_scale.py: a header, then per run a
 ``n_bodies, n_threads, n_simulations[, repetition], <program stdout>``
 block where the timing lines ("GPU parallel computation took ... ") appear
 verbatim (first_scaling_script.sh:14-15,36; second_scaling_script.sh:13,39).
+A trailing ``# backend: ...`` label line records where the sweep ran
+(ignored by the reference parsers, which match config/timing regexes only).
+
+Device counts beyond the visible device count are NEVER silently dropped
+(round-2 verdict item 4): the sweep warns and — unless ``--fake-mesh
+never`` — re-executes itself in a subprocess on a fake CPU mesh wide
+enough for every requested count (the config45/dryrun_multichip
+bootstrap pattern), labeling the results accordingly.  Fake-mesh numbers
+measure protocol correctness, not hardware scaling.
 """
 
 from __future__ import annotations
 
 import io
+import os
 import sys
 from contextlib import redirect_stdout
 from typing import List
+
+_BOOTSTRAP_ENV = "NBODY_SWEEP_BOOTSTRAPPED"
+
+AXIS_DEFAULTS = {
+    "group-chunk": "1,2,4,8,16,32",
+    "tiles": "64,128,256,512",
+}
 
 
 def _run_one(config, state, step_fn):
@@ -46,13 +67,10 @@ def _fresh_state(config, seed):
     return random_state(config.replace(seed=seed))
 
 
-def run_sweep(args) -> int:
-    import jax
+def _base_config(args):
+    from ..config import SimConfig
 
-    from .. import parallel
-    from ..config import MeshConfig, SimConfig
-
-    base = SimConfig(
+    return SimConfig(
         n_bodies=args.n_bodies,
         n_dim=getattr(args, "dims", 2),
         n_steps=args.steps,
@@ -70,17 +88,144 @@ def run_sweep(args) -> int:
         frontier_cap=args.frontier_cap,
     )
 
+
+def _write_results(path, lines, backend_label):
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        f.write(f"# backend: {backend_label}\n")
+    print(f"results written to {path}", file=sys.stderr)
+
+
+def _bootstrap_fake_mesh(args, n_devices: int) -> int:
+    """Re-exec this sweep in a subprocess on a fake CPU mesh wide enough
+    for every requested device count (jax.config wins over the ambient
+    TPU plugin; XLA_FLAGS must be set before jax initialises)."""
+    import subprocess
+
+    argv = getattr(args, "argv_raw", None)
+    if argv is None:
+        raise RuntimeError(
+            "cannot re-exec sweep: original argv unavailable "
+            "(call nbody_tpu.cli.main directly or pass --fake-mesh never)"
+        )
+    import re
+
+    env = dict(os.environ)
+    # replace (not append-if-absent): the parent may already force a
+    # smaller fake mesh via XLA_FLAGS
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        env.get("XLA_FLAGS", ""),
+    ).strip()
+    env["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    env[_BOOTSTRAP_ENV] = "1"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "from nbody_tpu.cli import main\n"
+        f"sys.exit(main({argv!r}))\n"
+    )
+    print(
+        f"sweep: re-executing on a fake {n_devices}-device CPU mesh "
+        "(results labeled; protocol correctness, not hardware scaling)",
+        file=sys.stderr,
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env)
+    return proc.returncode
+
+
+def _run_intra_chip_sweep(args, axis: str) -> int:
+    """Processor-count-style curve on ONE device: the axis value plays
+    the reference's N_THREADS role in the results file."""
+    values = [
+        int(x)
+        for x in (args.axis_values or AXIS_DEFAULTS[axis]).split(",")
+    ]
+    if axis == "tiles" and args.engine != "allpairs":
+        raise SystemExit(
+            "--sweep-axis tiles varies the all-pairs target block; "
+            "use --engine allpairs"
+        )
+    if axis == "group-chunk" and args.engine != "barnes_hut":
+        raise SystemExit(
+            "--sweep-axis group-chunk varies the grouped-BH evaluation "
+            "batch; use --engine barnes_hut"
+        )
+    base = _base_config(args)
+    lines: List[str] = [
+        "n_bodies, n_threads, n_simulations, runtime"
+    ]
+    for v in values:
+        cfg = (
+            base.replace(group_chunk=v)
+            if axis == "group-chunk"
+            else base.replace(target_block=v)
+        )
+        for rep in range(1, args.repeats + 1):
+            state = _fresh_state(cfg, seed=args.seed + rep)
+            stdout = _run_one(cfg, state, None)
+            lines.append(f"{args.n_bodies}, {v}, {args.steps}, " + stdout)
+            print(
+                f"{axis}: value={v} rep={rep} done", file=sys.stderr
+            )
+    import jax
+
+    _write_results(
+        args.results_file,
+        lines,
+        f"{jax.default_backend()} single-device, axis={axis}",
+    )
+    return 0
+
+
+def run_sweep(args) -> int:
+    import jax
+
+    from .. import parallel
+    from ..config import MeshConfig
+
+    axis = getattr(args, "sweep_axis", "devices")
+    if axis != "devices":
+        return _run_intra_chip_sweep(args, axis)
+
+    base = _base_config(args)
+
     if args.device_counts:
         device_counts = [int(x) for x in args.device_counts.split(",")]
     else:
         device_counts = [1, 2, 4, 8]
-    device_counts = [d for d in device_counts if d <= jax.device_count()]
     if args.body_counts:
         body_counts = [int(x) for x in args.body_counts.split(",")]
     else:
         # second_scaling_script.sh:4 body axis
         body_counts = [2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048,
                        4096, 8192, 16384, 32768, 40000]
+
+    visible = jax.device_count()
+    fake_mode = getattr(args, "fake_mesh", "auto")
+    wanted_max = (
+        max(device_counts)
+        if args.experiment in ("strong", "weak")
+        else args.devices
+    )
+    if wanted_max > visible:
+        dropped = [d for d in device_counts if d > visible]
+        print(
+            f"WARNING: requested device counts {dropped or [wanted_max]} "
+            f"exceed the {visible} visible device(s)",
+            file=sys.stderr,
+        )
+        if fake_mode != "never" and not os.environ.get(_BOOTSTRAP_ENV):
+            return _bootstrap_fake_mesh(args, max(8, wanted_max))
+        device_counts = [d for d in device_counts if d <= visible]
+        print(
+            f"WARNING: proceeding with device counts {device_counts} "
+            "only (--fake-mesh never)",
+            file=sys.stderr,
+        )
 
     out_path = args.results_file
     header = (
@@ -146,7 +291,9 @@ def run_sweep(args) -> int:
                     f"bodies: N={n_bodies} rep={rep} done", file=sys.stderr
                 )
 
-    with open(out_path, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"results written to {out_path}", file=sys.stderr)
+    backend = jax.default_backend()
+    label = f"{backend}-{visible}-device-mesh"
+    if os.environ.get(_BOOTSTRAP_ENV):
+        label = f"cpu-fake-{visible}-device-mesh (protocol validation)"
+    _write_results(out_path, lines, label)
     return 0

@@ -107,8 +107,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--mode",
         choices=["auto", "dp_allpairs", "ring_allpairs", "dp_barnes_hut",
-                 "dp_barnes_hut_grouped", "dp_barnes_hut_grouped3",
-                 "dp2d_allpairs"],
+                 "dp_barnes_hut_grouped", "dp_barnes_hut_sharded",
+                 "dp_barnes_hut_grouped3", "dp2d_allpairs"],
         default="auto",
         help="sharded step selection when --devices > 1",
     )
@@ -443,6 +443,7 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    raw = list(argv) if argv is not None else list(sys.argv[1:])
     parser = argparse.ArgumentParser(
         prog="nbody_tpu",
         description="TPU-native gravitational N-body framework",
@@ -472,6 +473,29 @@ def main(argv=None) -> int:
     p_sweep.add_argument("--body-counts", type=str, default="",
                          help="comma list for --experiment bodies")
     p_sweep.add_argument("--results-file", default="scaling_results.txt")
+    p_sweep.add_argument(
+        "--sweep-axis",
+        choices=["devices", "group-chunk", "tiles"],
+        default="devices",
+        help="processor axis: chips on the dp mesh (default), or an "
+        "intra-chip granularity on ONE device — group-chunk (grouped-BH "
+        "evaluation batch) or tiles (all-pairs target block) — the "
+        "single-chip analogue of the reference's N_THREADS axis "
+        "(project.cu:983)",
+    )
+    p_sweep.add_argument(
+        "--axis-values", type=str, default="",
+        help="comma list for --sweep-axis group-chunk|tiles "
+        "(defaults: 1,2,4,8,16,32 / 64,128,256,512)",
+    )
+    p_sweep.add_argument(
+        "--fake-mesh",
+        choices=["auto", "never"],
+        default="auto",
+        help="when requested device counts exceed visible devices: "
+        "auto = re-exec on a fake CPU mesh (labeled results), "
+        "never = warn and drop the unreachable counts",
+    )
     p_sweep.set_defaults(fn=cmd_sweep)
 
     p_compare = sub.add_parser(
@@ -512,6 +536,7 @@ def main(argv=None) -> int:
     p_plot.set_defaults(fn=cmd_plot)
 
     args = parser.parse_args(argv)
+    args.argv_raw = raw  # for the sweep fake-mesh re-exec
     return args.fn(args)
 
 

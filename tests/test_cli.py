@@ -208,6 +208,98 @@ def test_sweep_bodies_format(tmp_path, capsys, monkeypatch):
     assert {int(m.group(1)) for m in configs} == {32, 64}
 
 
+def test_sweep_unreachable_devices_warn_and_bootstrap(
+    tmp_path, capsys, monkeypatch
+):
+    """Requested device counts beyond the visible devices must (a) warn
+    loudly — never silently filter (round-2 verdict item 4) — and (b)
+    self-bootstrap onto a fake CPU mesh wide enough for every requested
+    count, labeling the results file with the backend."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        [
+            "sweep", "--experiment", "strong", "--engine", "naive",
+            "--n-bodies", "64", "--steps", "1", "--repeats", "1",
+            "--device-counts", "1,16",  # conftest fakes 8 devices
+            "--results-file", "res_boot.txt",
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "WARNING: requested device counts" in err
+    assert "fake" in err
+    lines = open("res_boot.txt").read().splitlines()
+    threads = {
+        int(m.group(2)) for l in lines if (m := CONFIG_RE.search(l))
+    }
+    assert threads == {1, 16}
+    assert any(l.startswith("# backend:") and "fake" in l for l in lines)
+
+
+def test_sweep_fake_mesh_never_filters_loudly(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        [
+            "sweep", "--experiment", "strong", "--engine", "naive",
+            "--n-bodies", "64", "--steps", "1", "--repeats", "1",
+            "--device-counts", "1,16", "--fake-mesh", "never",
+            "--results-file", "res_never.txt",
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "WARNING: requested device counts [16]" in err
+    assert "proceeding with device counts [1]" in err
+    lines = open("res_never.txt").read().splitlines()
+    threads = {
+        int(m.group(2)) for l in lines if (m := CONFIG_RE.search(l))
+    }
+    assert threads == {1}
+
+
+def test_sweep_intra_chip_axis(tmp_path, capsys, monkeypatch):
+    """--sweep-axis group-chunk yields a processor-count-style multi-point
+    curve on ONE device in the plot_first_scale.py format (the reference's
+    N_THREADS-as-independent-variable experiment, project.cu:983)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        [
+            "sweep", "--experiment", "strong", "--engine", "barnes_hut",
+            "--n-bodies", "128", "--steps", "1", "--repeats", "2",
+            "--sweep-axis", "group-chunk", "--axis-values", "1,2",
+            "--group-size", "64", "--frontier-cap", "128",
+            "--results-file", "res_axis.txt",
+        ]
+    )
+    assert rc == 0
+    lines = open("res_axis.txt").read().splitlines()
+    parallel_times = {}
+    last_thread = None
+    for line in lines:
+        if "n_bodies" in line.lower():
+            continue
+        m = CONFIG_RE.search(line)
+        if m:
+            last_thread = int(m.group(2))
+            continue
+        m = PARALLEL_RE.search(line)
+        if m and last_thread is not None:
+            parallel_times.setdefault(last_thread, []).append(
+                int(m.group(1))
+            )
+    assert set(parallel_times) == {1, 2}
+    assert all(len(v) == 2 for v in parallel_times.values())
+    # tiles axis demands the allpairs engine
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "sweep", "--engine", "barnes_hut", "--sweep-axis", "tiles",
+                "--n-bodies", "64", "--steps", "1", "--repeats", "1",
+                "--results-file", "res_bad.txt",
+            ]
+        )
+
+
 def test_plot_subcommand(tmp_path, capsys, monkeypatch):
     """Vectorised plot subcommand renders trajectory + quadtree PNGs."""
     monkeypatch.chdir(tmp_path)
