@@ -69,6 +69,11 @@ def random_state(config: SimConfig) -> SimState:
             k_p, (n, dims), dtype=jnp.float32
         ).astype(dtype)
         positions = jnp.where(which == 0, centers[0], centers[1]) + noise
+        # Clipping can in principle pin two bodies to the same corner
+        # coordinates, which the d2 > 0 guard would then treat as
+        # self-pairs (no mutual force).  Practically unreachable:
+        # centers are confined to the central 50% and sigma is 2% of the
+        # span, so a clipped body needs a >12.5-sigma noise draw.
         positions = jnp.clip(positions, r.lower_p, r.higher_p)
     elif mode == "uniform":
         positions = uniform(k_p, (n, dims), r.lower_p, r.higher_p, dtype)
