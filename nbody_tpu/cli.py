@@ -108,7 +108,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--mode",
         choices=["auto", "dp_allpairs", "ring_allpairs", "dp_barnes_hut",
                  "dp_barnes_hut_grouped", "dp_barnes_hut_sharded",
-                 "dp_barnes_hut_grouped3", "dp2d_allpairs"],
+                 "dp_barnes_hut_grouped3", "dp_barnes_hut_sharded3",
+                 "dp2d_allpairs"],
         default="auto",
         help="sharded step selection when --devices > 1",
     )

@@ -157,6 +157,7 @@ def _collect_lists_3d(
     list_cap: int,
     direct_cap: int,
     direct_cell_max: int,
+    window_cells=None,
 ):
     """Per-group interaction lists via the dual cell-vs-bbox octree walk.
 
@@ -166,7 +167,9 @@ def _collect_lists_3d(
     small multis -> Morton body ranges; the rest open.
 
     Returns ((lx, ly, lz, lm) approx lists [G, L], ranges [G, D, 2],
-    overflow [G] bool).
+    overflow [G] bool).  ``window_cells`` gates direct emission to the
+    resident Morton window (sharded multi-chip mode — see the 2D
+    mirror, ops/bh_grouped._collect_lists).
     """
     x0, x1, y0, y1, z0, z1 = bbox
     g = x0.shape[0]
@@ -224,6 +227,13 @@ def _collect_lists_3d(
             & (level != max_depth)
             & (cnt <= direct_cell_max)
         )
+        if window_cells is not None:
+            c_lo, c_hi = window_cells
+            shift_w = 3 * (max_depth - level)
+            in_win = ((idx << shift_w) >= c_lo) & (
+                ((idx + 1) << shift_w) <= c_hi + 1
+            )
+            direct = direct & in_win
 
         app_x.append(cx)
         app_y.append(cy)
@@ -628,18 +638,24 @@ def grouped_eval_3d(
     n_sub: int | None = None,
     compensated: bool = False,
     eval_dynamic: bool = True,
+    window_cells=None,
+    range_offset=None,
+    n_sources_hint: int | None = None,
 ):
     """Grouped 3D evaluation of arbitrary targets against a prebuilt
     octree — the 3D mirror of ops/bh_grouped.grouped_eval (multi-chip:
     each device passes its local shard as targets against the gathered
-    global sources; self-exclusion stays index-free via d2 > 0)."""
+    global sources; self-exclusion stays index-free via d2 > 0).  The
+    window/offset/hint trio enables the sharded-source mode (see the 2D
+    docstring)."""
     n = target_positions.shape[0]
     ns = sorted_srcs[0].shape[0]
     max_depth = tree.max_depth
 
-    defaults = cap_defaults_3d(ns)
+    n_eff = n_sources_hint if n_sources_hint else ns
+    defaults = cap_defaults_3d(n_eff)
     if direct_cell_max is None:
-        direct_cell_max = direct_cell_max_default(ns)
+        direct_cell_max = direct_cell_max_default(n_eff)
     frontier_cap = frontier_cap or defaults["frontier_cap"]
     list_cap = list_cap or defaults["list_cap"]
     direct_cap = direct_cap or defaults["direct_cap"]
@@ -681,11 +697,18 @@ def grouped_eval_3d(
         tree,
         theta=theta,
         softening=softening,
-        frontier_caps=frontier_schedule_3d(frontier_cap, max_depth, ns),
+        frontier_caps=frontier_schedule_3d(frontier_cap, max_depth, n_eff),
         list_cap=list_cap,
         direct_cap=direct_cap,
         direct_cell_max=direct_cell_max,
+        window_cells=window_cells,
     )
+    if range_offset is not None:
+        ranges = ranges.at[:, :, 0].set(
+            jnp.where(
+                ranges[:, :, 1] > 0, ranges[:, :, 0] - range_offset, 0
+            )
+        )
     # NOTE: a merge_ranges + expand_runs_superblocks variant (now in
     # ops/experiments.py; interval-
     # union of the per-cell ranges) was measured end-to-end and LOST:

@@ -525,6 +525,139 @@ def make_dp_barnes_hut_grouped3_step(
     return _wrap_state_step(step)
 
 
+def make_dp_barnes_hut_sharded3_step(
+    config: SimConfig, mesh: Mesh
+) -> Callable:
+    """3D (octree) mirror of :func:`make_dp_barnes_hut_sharded_step`:
+    per-chip sources O(N/devices + tree), psum'd octree pyramid,
+    ppermute halo slabs, window-gated direct ranges."""
+    axis = config.mesh.axis_name
+    n_dev = mesh.shape[axis]
+    dt = config.dt
+    g = config.g
+    md = config.resolved_max_depth
+
+    from ..ops.bh3d import grouped_eval_3d
+    from ..ops.tree3d import (
+        R3_CNT,
+        leaf_raw_3d,
+        morton_codes_3d,
+        pyramid_from_raw_3d,
+    )
+
+    perm_from_left = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    perm_from_right = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        check_vma=False,
+    )
+    def step(masses, positions, velocities, time, stepc):
+        f32 = positions.dtype
+        mins = [jax.lax.pmin(jnp.min(positions[:, d]), axis) for d in range(3)]
+        maxs = [jax.lax.pmax(jnp.max(positions[:, d]), axis) for d in range(3)]
+        max_dim = jnp.maximum(
+            jnp.maximum(maxs[0] - mins[0], maxs[1] - mins[1]),
+            maxs[2] - mins[2],
+        )
+        pad = jnp.where(max_dim == 0.0, 1e-6, 0.1 * max_dim)
+        bounds = jnp.stack(
+            [mins[0] - pad, maxs[0] + pad, mins[1] - pad, maxs[1] + pad,
+             mins[2] - pad, maxs[2] + pad]
+        )
+
+        codes = morton_codes_3d(positions, bounds, md)
+        raw = jax.lax.psum(
+            leaf_raw_3d(positions, masses, codes, md), axis
+        )
+        tree = pyramid_from_raw_3d(raw, bounds, codes, md)
+
+        csort, sx, sy, sz, sgm = jax.lax.sort(
+            [codes, positions[:, 0], positions[:, 1], positions[:, 2],
+             jnp.asarray(g, f32) * masses],
+            dimension=0, num_keys=1, is_stable=False,
+        )
+        own = jnp.stack([sx, sy, sz, sgm], axis=1)  # [nl, 4]
+
+        if n_dev > 2:
+            from_l = jax.lax.ppermute(own, axis, perm_from_left)
+            cl = jax.lax.ppermute(csort, axis, perm_from_left)
+            from_r = jax.lax.ppermute(own, axis, perm_from_right)
+            cr = jax.lax.ppermute(csort, axis, perm_from_right)
+            win = jnp.concatenate([from_l, own, from_r], axis=0)
+            wc = jnp.concatenate([cl, csort, cr], axis=0)
+        elif n_dev == 2:
+            from_l = jax.lax.ppermute(own, axis, perm_from_left)
+            cl = jax.lax.ppermute(csort, axis, perm_from_left)
+            win = jnp.concatenate([from_l, own], axis=0)
+            wc = jnp.concatenate([cl, csort], axis=0)
+        else:
+            win, wc = own, csort
+        wc, wx, wy, wz, wgm = jax.lax.sort(
+            [wc, win[:, 0], win[:, 1], win[:, 2], win[:, 3]],
+            dimension=0, num_keys=1, is_stable=False,
+        )
+
+        leaf_cnt = raw[:, R3_CNT].astype(jnp.int32)
+        leaf_cum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(leaf_cnt).astype(jnp.int32)]
+        )
+        c_min = wc[0]
+        c_max = wc[-1]
+        complete_lo = jnp.sum(wc == c_min) == leaf_cnt[c_min]
+        complete_hi = jnp.sum(wc == c_max) == leaf_cnt[c_max]
+        c_lo = jnp.where(complete_lo, c_min, c_min + 1)
+        c_hi = jnp.where(complete_hi, c_max, c_max - 1)
+        c_hi = jnp.maximum(c_hi, c_lo - 1)
+        g0 = leaf_cum[c_lo]
+        g1 = leaf_cum[c_hi + 1]
+        n_range = g1 - g0
+        n_in = jnp.sum((wc >= c_lo) & (wc <= c_hi))
+        ok = n_in == n_range
+        g0 = jnp.where(ok, g0, 0)
+        c_lo_eff = jnp.where(ok, c_lo, 1)
+        c_hi_eff = jnp.where(ok, c_hi, 0)
+        n_range = jnp.where(ok, n_range, 0)
+
+        pad8 = g0 % 8
+        base = g0 - pad8
+        n_below = jnp.sum(wc < c_lo)
+        shift = pad8 - n_below
+        wx = jnp.roll(wx, shift)
+        wy = jnp.roll(wy, shift)
+        wz = jnp.roll(wz, shift)
+        wgm = jnp.roll(wgm, shift)
+        slot = jnp.arange(wx.shape[0], dtype=jnp.int32)
+        live = (slot >= pad8) & (slot < pad8 + n_range)
+        wgm = jnp.where(live, wgm, 0.0)
+
+        acc = grouped_eval_3d(
+            positions,
+            tree,
+            sorted_srcs=(wx, wy, wz, wgm),
+            g=g,
+            theta=config.theta,
+            softening=config.softening,
+            group_size=config.group_size,
+            frontier_cap=config.frontier_cap,
+            list_cap=config.list_cap,
+            direct_cap=config.direct_cap,
+            direct_cell_max=config.resolved_direct_cell_max,
+            direct_body_cap=config.direct_body_cap,
+            group_chunk=config.group_chunk,
+            window_cells=(c_lo_eff, c_hi_eff),
+            range_offset=base,
+            n_sources_hint=positions.shape[0] * n_dev,
+        )
+        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+
+    return _wrap_state_step(step)
+
+
 def _wrap_state_step(array_step: Callable) -> Callable:
     """Lift an array-level step to SimState -> SimState under jit."""
 
@@ -555,6 +688,7 @@ STEP_BUILDERS = {
     "dp_barnes_hut_grouped": make_dp_barnes_hut_grouped_step,
     "dp_barnes_hut_sharded": make_dp_barnes_hut_sharded_step,
     "dp_barnes_hut_grouped3": make_dp_barnes_hut_grouped3_step,
+    "dp_barnes_hut_sharded3": make_dp_barnes_hut_sharded3_step,
     "dp2d_allpairs": make_dp2d_allpairs_step,
 }
 

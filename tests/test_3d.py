@@ -257,6 +257,67 @@ def test_sharded_3d_matches_single_device(rng):
     assert np.abs(got - ref).max() / scale < 1e-5
 
 
+def test_sharded3_window_mode_matches_grouped(rng):
+    """dp_barnes_hut_sharded3 (per-chip sources O(N/devices + tree))
+    tracks the single-device grouped-3D trajectory on a
+    bounded-separation jittered 3D grid (see the 2D mirror in
+    tests/test_parallel.py for why uniform-random states are not
+    assertable)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 fake devices")
+    from nbody_tpu.config import MeshConfig, SimConfig
+    from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
+    from nbody_tpu.ops.tree3d import morton_codes_3d, root_bounds_3d
+    from nbody_tpu.parallel import make_mesh, make_sharded_step, shard_state
+    from nbody_tpu.physics import integrate
+    from nbody_tpu.state import make_state
+
+    side = 12
+    n = side**3  # 1728
+    r = np.random.default_rng(3)
+    gx, gy, gz = np.meshgrid(*([np.arange(side)] * 3))
+    p = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float64)
+    p = ((p + r.uniform(0.25, 0.75, p.shape)) / side * 0.2 - 0.1).astype(
+        np.float32
+    )
+    m = (10 ** r.uniform(-1, np.log10(0.5), n)).astype(np.float32)
+    v = r.uniform(-1e-4, 1e-4, (n, 3)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    md = 5  # deep enough that out-of-window close cells aggregate at
+    # small cell sizes (md=4's 1/16-domain leaves gave ~3e-4*scale diffs)
+    codes = np.asarray(
+        morton_codes_3d(jnp.asarray(p), root_bounds_3d(jnp.asarray(p)), md)
+    )
+    order = np.argsort(codes)
+    m, p, v = m[order], p[order], v[order]
+
+    cfg = SimConfig(
+        n_bodies=n, n_dim=3, engine="barnes_hut", group_size=216,
+        group_chunk=8, max_depth=md, mesh=MeshConfig(dp=8),
+    )
+    mesh = make_mesh(8)
+    state = shard_state(make_state(m, p, v), mesh)
+    step = make_sharded_step(cfg, mesh, "dp_barnes_hut_sharded3")
+
+    G = 6.67e-11
+    ref = make_state(m, p, v)
+    for _ in range(3):
+        state = step(state)
+        acc = bh3_accelerations_grouped(
+            ref.positions, ref.masses, g=G, max_depth=md,
+            group_size=216, group_chunk=8,
+        )
+        ref = integrate(ref, acc, dt=1.0)
+    got = np.asarray(state.positions)
+    want = np.asarray(ref.positions)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-4 * scale)
+
+
 def test_make_state_rejects_bad_dims():
     from nbody_tpu.state import make_state
 
