@@ -280,7 +280,19 @@ def config45(weak: bool):
     import jax
 
     if jax.device_count() < 8:
-        return _config45_fake_mesh(weak)
+        rec = _config45_fake_mesh(weak)
+        # One representative-N anchor on the REAL chip (round-2 weak #6:
+        # the fake-mesh protocol records are tiny; this exercises the
+        # same engine at the config's actual strong-scaling N on the
+        # hardware that exists, as the devices=1 reference point).
+        if jax.default_backend() == "tpu" and not weak:
+            try:
+                rec["anchor_devices1_real_chip"] = _config4_anchor()
+            except Exception as e:  # anchor is additive, never fatal
+                rec["anchor_devices1_real_chip"] = {
+                    "error": f"{type(e).__name__}: {e}"
+                }
+        return rec
 
     from ..config import MeshConfig, SimConfig
     from ..parallel import make_mesh, make_sharded_step, shard_state
@@ -330,6 +342,40 @@ def config45(weak: bool):
         "backend": jax.default_backend(),
         "scale_divisor": scale,
         "points": results,
+    }
+
+
+def _config4_anchor():
+    """devices=1 point of config 4 at the REAL strong-scaling N=262,144
+    on the real chip (grouped BH, slope-timed)."""
+    import jax.numpy as jnp
+
+    from ..ops.bh_grouped import bh_accelerations_grouped
+
+    n, g = 262144, 6.67e-11
+    rng = np.random.default_rng(0)
+    m = jnp.asarray(
+        10 ** rng.uniform(-1, np.log10(0.5), n), jnp.float32
+    )
+
+    def fresh():
+        return jnp.asarray(rng.uniform(-0.1, 0.1, (n, 2)), jnp.float32)
+
+    sec = _slope_step_seconds(
+        lambda p: bh_accelerations_grouped(p, m, g=g, theta=0.5),
+        fresh,
+        k_lo=2,
+        k_hi=6,
+    )
+    _, ovf = bh_accelerations_grouped(
+        fresh(), m, g=g, theta=0.5, return_diagnostics=True
+    )
+    return {
+        "devices": 1,
+        "n": n,
+        "step_seconds": sec,
+        "overflowed_bodies": int(np.asarray(ovf).sum()),
+        "backend": "tpu",
     }
 
 

@@ -346,6 +346,7 @@ def _evaluate_pallas_3d(
     compensated: bool = False,
     eval_chunk: int = 64,
     dynamic: bool = True,
+    k_tile: int = 2048,
 ):
     """Chunked over groups: 3D direct sections are wide (the [G, 8, K]
     source table would be ~3-6 GB of HBM at N=1M); materialising the
@@ -406,6 +407,7 @@ def _evaluate_pallas_3d(
                 lens,
                 softening=float(softening),
                 section_offset=section,
+                k_tile=k_tile,
             )
         return list_eval_pallas(
             p.astype(jnp.float32),
@@ -548,6 +550,7 @@ def _evaluate_3d(
         "n_sub",
         "compensated",
         "eval_dynamic",
+        "eval_k_tile",
     ),
 )
 def bh3_accelerations_grouped(
@@ -570,6 +573,7 @@ def bh3_accelerations_grouped(
     n_sub: int | None = None,
     compensated: bool = False,
     eval_dynamic: bool = True,
+    eval_k_tile: int = 2048,
 ):
     """Grouped 3D Barnes-Hut accelerations [N, 3] (+ overflow [N]).
 
@@ -613,6 +617,7 @@ def bh3_accelerations_grouped(
         n_sub=n_sub,
         compensated=compensated,
         eval_dynamic=eval_dynamic,
+        eval_k_tile=eval_k_tile,
     )
 
 
@@ -638,6 +643,7 @@ def grouped_eval_3d(
     n_sub: int | None = None,
     compensated: bool = False,
     eval_dynamic: bool = True,
+    eval_k_tile: int = 2048,
     window_cells=None,
     range_offset=None,
     n_sources_hint: int | None = None,
@@ -734,6 +740,7 @@ def grouped_eval_3d(
             softening=softening,
             compensated=compensated,
             dynamic=eval_dynamic,
+            k_tile=eval_k_tile,
         )
     else:
         ax, ay, az = _evaluate_3d(

@@ -368,6 +368,7 @@ def _evaluate_pallas(
     softening: float,
     compensated: bool = False,
     dynamic: bool = True,
+    k_tile: int = 2048,
 ):
     """Build the combined packed source list [G, 8, K] (approx cells +
     masked superblock bodies) in XLA — cheap, it is only the gathered data
@@ -457,6 +458,7 @@ def _evaluate_pallas(
             lens,
             softening=float(softening),
             section_offset=lx.shape[1],
+            k_tile=k_tile,
         )
     else:
         acc = list_eval_pallas(
@@ -651,6 +653,7 @@ def _evaluate(
         "n_sub",
         "compensated",
         "eval_dynamic",
+        "eval_k_tile",
     ),
 )
 def bh_accelerations_grouped(
@@ -673,6 +676,7 @@ def bh_accelerations_grouped(
     n_sub: int | None = None,
     compensated: bool = False,
     eval_dynamic: bool = True,
+    eval_k_tile: int = 2048,
 ):
     """Grouped Barnes-Hut accelerations [N, 2] (+ overflow [N] optional).
 
@@ -713,6 +717,7 @@ def bh_accelerations_grouped(
         n_sub=n_sub,
         compensated=compensated,
         eval_dynamic=eval_dynamic,
+        eval_k_tile=eval_k_tile,
     )
 
 
@@ -741,6 +746,7 @@ def grouped_eval(
     n_sub: int | None = None,
     compensated: bool = False,
     eval_dynamic: bool = True,
+    eval_k_tile: int = 2048,
     window_cells=None,
     range_offset=None,
     n_sources_hint: int | None = None,
@@ -862,6 +868,7 @@ def grouped_eval(
             softening=softening,
             compensated=compensated,
             dynamic=eval_dynamic,
+            k_tile=eval_k_tile,
         )
     else:
         cells = jnp.stack([lx, ly, lm], axis=-1)  # [G, L, 3]
