@@ -104,7 +104,13 @@ def _bh_headline(n, k_lo, k_hi, rng, masses, fresh, on_tpu):
                 report = _json.load(f)
         except Exception:
             report = []
-    report = [r for r in report if r.get("config") != 3] + [rec]
+    # merge into an existing (possibly richer) config-3 record rather
+    # than clobbering it — bench.py may run after a full baseline pass
+    existing = [r for r in report if r.get("config") == 3]
+    if existing:
+        existing[0].update(rec)
+    else:
+        report.append(rec)
     report.sort(key=lambda r: r.get("config", 99))
     with open(path, "w") as f:
         _json.dump(report, f, indent=2)
