@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..config import BH_SOFTENING, MASS_SKIP_THRESHOLD, THETA_DEFAULT
 from .bh_grouped import (
     _SB,
+    _evaluate_pallas_runs,
     _expand_ranges_superblocks,
     _pow2_ceil,
     _sort_compact,
@@ -551,6 +552,8 @@ def _evaluate_3d(
         "compensated",
         "eval_dynamic",
         "eval_k_tile",
+        "eval_mode",
+        "run_cap",
     ),
 )
 def bh3_accelerations_grouped(
@@ -574,6 +577,8 @@ def bh3_accelerations_grouped(
     compensated: bool = False,
     eval_dynamic: bool = True,
     eval_k_tile: int = 2048,
+    eval_mode: str | None = None,
+    run_cap: int | None = None,
 ):
     """Grouped 3D Barnes-Hut accelerations [N, 3] (+ overflow [N]).
 
@@ -618,6 +623,8 @@ def bh3_accelerations_grouped(
         compensated=compensated,
         eval_dynamic=eval_dynamic,
         eval_k_tile=eval_k_tile,
+        eval_mode=eval_mode,
+        run_cap=run_cap,
     )
 
 
@@ -644,6 +651,8 @@ def grouped_eval_3d(
     compensated: bool = False,
     eval_dynamic: bool = True,
     eval_k_tile: int = 2048,
+    eval_mode: str | None = None,
+    run_cap: int | None = None,
     window_cells=None,
     range_offset=None,
     n_sources_hint: int | None = None,
@@ -722,15 +731,41 @@ def grouped_eval_3d(
     # run-cap overflow on 2 groups — the near-field cells that fail to
     # merge are numerous enough that run enumeration costs more than the
     # boundary-superblock slack it removes.  See PERF.md.
-    sb_cap = direct_body_cap // _SB + direct_cap
-    sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
-        ranges, direct_cell_max, sb_cap
-    )
-    overflow_g = overflow_g | ovf_b
-
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    if eval_mode is None:
+        eval_mode = "dynamic" if eval_dynamic else "grid"
+    if compensated:
+        eval_mode = "grid"
+
+    if use_pallas and eval_mode == "runs":
+        # Gather-free direct path (see ops/bh_grouped._evaluate_pallas_runs
+        # and list_eval_runs): no superblock machinery, no chunking — the
+        # padded per-group source tables this file's chunked evaluator
+        # exists to bound are never materialised at all.
+        lx, ly, lz, lm = lists
+        rc = run_cap or 512
+        acc_r, ovf_e = _evaluate_pallas_runs(
+            pg,
+            (lx, ly, lz),
+            lm,
+            ranges,
+            sorted_srcs[0:3],
+            sorted_srcs[3],  # already g*m (bh3_accelerations_grouped)
+            g_const=g,  # scales the approx lists' raw masses
+            softening=softening,
+            k_tile=eval_k_tile,
+            run_cap=rc,
+            t_cap=direct_body_cap // eval_k_tile + 2 * rc,
+        )
+        overflow_g = overflow_g | ovf_e
+        ax, ay, az = acc_r[:, :, 0], acc_r[:, :, 1], acc_r[:, :, 2]
+    elif use_pallas:
+        sb_cap = direct_body_cap // _SB + direct_cap
+        sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
+            ranges, direct_cell_max, sb_cap
+        )
+        overflow_g = overflow_g | ovf_b
         ax, ay, az = _evaluate_pallas_3d(
             pg,
             lists,
@@ -739,10 +774,15 @@ def grouped_eval_3d(
             g_const=g,
             softening=softening,
             compensated=compensated,
-            dynamic=eval_dynamic,
+            dynamic=(eval_mode == "dynamic"),
             k_tile=eval_k_tile,
         )
     else:
+        sb_cap = direct_body_cap // _SB + direct_cap
+        sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
+            ranges, direct_cell_max, sb_cap
+        )
+        overflow_g = overflow_g | ovf_b
         ax, ay, az = _evaluate_3d(
             pg,
             lists,

@@ -475,6 +475,137 @@ def _evaluate_pallas(
 _SB = 8  # bodies per superblock (one packed gather row)
 
 
+def _expand_runs_tiles(runs: jax.Array, k_tile: int, t_cap: int):
+    """Merged body runs -> per-group direct k-tile table for the
+    gather-free runs evaluator (ops/list_eval.list_eval_runs).
+
+    Each run [start, start+count) is rounded DOWN to a 128-aligned base
+    (Mosaic can only slice the lane dimension of the tiled sorted table
+    at provably-128-aligned dynamic offsets) and becomes
+    ceil((start%128 + count)/k_tile) tiles of
+    (aligned start, first valid lane, one-past-last valid lane); the
+    kernel DMAs each tile directly from the [8, N] transposed sorted
+    table and masks lanes outside [lo, hi).  Same prefix-sum +
+    scatter-mark + cummax machinery as the superblock expansion
+    (ops/experiments.expand_runs_superblocks), with per-run offsets
+    clamped so an overflowing group never spills into its neighbour.
+
+    runs: [G, R, 2] (start, count) zero-count padded.  Returns
+    (tiles [G, 3, T] int32 rows [aligned tile start, lo, hi],
+     n_tiles [G] int32 clamped to T, overflow [G] bool).
+    """
+    g, r, _ = runs.shape
+    starts = runs[:, :, 0]
+    counts = runs[:, :, 1]
+    base = starts - starts % 128  # 128-aligned DMA base per run
+    span = starts - base + counts  # lanes covered from the base
+    n_t = (span + k_tile - 1) // k_tile  # 0 for padded runs (count 0,
+    #                                      base == start)
+    total = jnp.sum(n_t, axis=1)
+    offsets = jnp.cumsum(n_t, axis=1) - n_t
+    valid = n_t > 0
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (g, r), 1)
+    row0 = jnp.arange(g, dtype=jnp.int32)[:, None] * t_cap
+    flat_pos = jnp.where(
+        valid & (offsets < t_cap), row0 + offsets, g * t_cap
+    )
+    marks = jax.ops.segment_max(
+        kidx.reshape(-1),
+        flat_pos.reshape(-1),
+        num_segments=g * t_cap,
+        indices_are_sorted=False,
+    ).reshape(g, t_cap)
+    marks = jnp.maximum(marks, 0)
+    k = jax.lax.cummax(marks, axis=1)  # run covering each tile slot
+    j = jnp.arange(t_cap, dtype=jnp.int32)
+    packed = jnp.stack(
+        [base, starts, starts + counts, offsets], axis=-1
+    ).reshape(g * r, 4)
+    rows = packed[jnp.arange(g, dtype=jnp.int32)[:, None] * r + k]
+    tw = j[None, :] - rows[:, :, 3]  # tile index within its run
+    ts = rows[:, :, 0] + tw * k_tile  # aligned: base + multiple of 128
+    lo = jnp.clip(rows[:, :, 1] - ts, 0, k_tile)  # nonzero on tile 0
+    hi = jnp.clip(rows[:, :, 2] - ts, 0, k_tile)
+    mask = j[None, :] < total[:, None]
+    tiles = jnp.stack(
+        [
+            jnp.where(mask, ts, 0),
+            jnp.where(mask, lo, 0),
+            jnp.where(mask, hi, 0),
+        ],
+        axis=1,
+    )  # [G, 3, T]
+    return (
+        tiles,
+        jnp.minimum(total, t_cap).astype(jnp.int32),
+        total > t_cap,
+    )
+
+
+def _evaluate_pallas_runs(
+    positions_grouped,  # [G, S, D]
+    coord_lists,  # tuple of D approx coordinate arrays [G, L]
+    lm,  # [G, L] approx masses (zero-padded)
+    ranges,  # [G, D_cells, 2] direct body ranges (start, count)
+    sorted_coords,  # tuple of D arrays [Ns] — ALL sources, Morton order
+    sorted_gm,  # [Ns]
+    *,
+    g_const: float,
+    softening: float,
+    k_tile: int,
+    run_cap: int,
+    t_cap: int,
+):
+    """Gather-free evaluation: approx lists stream per group; direct
+    sources stream straight from the transposed sorted table (see
+    ops/list_eval.list_eval_runs).  Returns (acc [G, S, D], overflow)."""
+    from .experiments import merge_ranges
+    from .list_eval import list_eval_runs
+
+    f32 = positions_grouped.dtype
+    dims = positions_grouped.shape[-1]
+    # approx table [G, 8, A], rows [coords..., gm, 0...]
+    apad = (-coord_lists[0].shape[1]) % k_tile
+    cl = [
+        jnp.pad(a, ((0, 0), (0, apad))) if apad else a
+        for a in coord_lists
+    ]
+    lmp = jnp.pad(lm, ((0, 0), (0, apad))) if apad else lm
+    gg = cl[0].shape[0]
+    a_width = cl[0].shape[1]
+    zero = jnp.zeros((gg, 1, a_width), f32)
+    approx = jnp.concatenate(
+        [c[:, None, :] for c in cl]
+        + [(jnp.asarray(g_const, f32) * lmp)[:, None, :]]
+        + [zero] * (8 - dims - 1),
+        axis=1,
+    )  # [G, 8, A]
+
+    merged, ovf_m = merge_ranges(ranges, cap=run_cap)
+    tiles, n_tiles, ovf_t = _expand_runs_tiles(merged, k_tile, t_cap)
+
+    ns = sorted_coords[0].shape[0]
+    npad = ns + k_tile  # tail pad: any tile start < ns stays in bounds
+    srct = jnp.zeros((8, npad), f32)
+    for d_, c in enumerate(sorted_coords):
+        srct = srct.at[d_, :ns].set(c)
+    srct = srct.at[dims, :ns].set(sorted_gm)
+
+    lens = jnp.stack(
+        [jnp.sum(lmp > 0, axis=1).astype(jnp.int32), n_tiles], axis=0
+    )  # [2, G]
+    acc = list_eval_runs(
+        positions_grouped.astype(jnp.float32),
+        approx,
+        srct,
+        tiles,
+        lens,
+        softening=float(softening),
+        k_tile=k_tile,
+    )
+    return acc, ovf_m | ovf_t
+
+
 def _expand_ranges_superblocks(
     ranges: jax.Array,  # [G, D, 2] (start, count)
     direct_cell_max: int,
@@ -654,6 +785,8 @@ def _evaluate(
         "compensated",
         "eval_dynamic",
         "eval_k_tile",
+        "eval_mode",
+        "run_cap",
     ),
 )
 def bh_accelerations_grouped(
@@ -677,6 +810,8 @@ def bh_accelerations_grouped(
     compensated: bool = False,
     eval_dynamic: bool = True,
     eval_k_tile: int = 2048,
+    eval_mode: str | None = None,
+    run_cap: int | None = None,
 ):
     """Grouped Barnes-Hut accelerations [N, 2] (+ overflow [N] optional).
 
@@ -718,6 +853,8 @@ def bh_accelerations_grouped(
         compensated=compensated,
         eval_dynamic=eval_dynamic,
         eval_k_tile=eval_k_tile,
+        eval_mode=eval_mode,
+        run_cap=run_cap,
     )
 
 
@@ -747,11 +884,17 @@ def grouped_eval(
     compensated: bool = False,
     eval_dynamic: bool = True,
     eval_k_tile: int = 2048,
+    eval_mode: str | None = None,
+    run_cap: int | None = None,
     window_cells=None,
     range_offset=None,
     n_sources_hint: int | None = None,
 ):
     """Grouped evaluation of arbitrary targets against a prebuilt tree.
+
+    ``eval_mode``: None resolves to "dynamic" (or "grid" when
+    ``eval_dynamic=False`` / ``compensated``); "runs" selects the
+    gather-free runs evaluator (_evaluate_pallas_runs).
 
     ``sorted_*`` must be ALL source bodies in global Morton order (direct
     ranges index into them; the tree's leaf counts define the ranges).
@@ -843,20 +986,42 @@ def grouped_eval(
                 ranges[:, :, 1] > 0, ranges[:, :, 0] - range_offset, 0
             )
         )
-    # Both 2D and 3D ship the static per-cell expansion: the merged-run
-    # pipeline (interval union + variable-length enumeration) was
-    # measured end-to-end and LOST in both (2D 64K 6.8 vs 5.6 ms/step;
-    # 3D 256K 290 vs 270 ms/step plus run-cap overflow) — kept as a
-    # tested utility in ops/experiments.py; negative result in PERF.md.
-    sb_cap = direct_body_cap // _SB + direct_cap
-    sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
-        ranges, direct_cell_max, sb_cap
-    )
-    overflow_g = overflow_g | ovf_b
-
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    if eval_mode is None:
+        eval_mode = "dynamic" if eval_dynamic else "grid"
+    if compensated:
+        eval_mode = "grid"  # the Kahan path lives in the grid kernel
+
+    if use_pallas and eval_mode == "runs":
+        # Gather-free direct path: interval-union the per-cell ranges
+        # into Morton runs and stream their k-tiles straight from the
+        # transposed sorted table (no superblock gather, no padded
+        # per-group source materialisation) — see list_eval_runs.
+        rc = run_cap or 256
+        acc_r, ovf_e = _evaluate_pallas_runs(
+            pg,
+            (lx, ly),
+            lm,
+            ranges,
+            (sorted_x, sorted_y),
+            sorted_gm,
+            g_const=g,
+            softening=softening,
+            k_tile=eval_k_tile,
+            run_cap=rc,
+            t_cap=direct_body_cap // eval_k_tile + 2 * rc,
+        )
+        overflow_g = overflow_g | ovf_e
+        ax, ay = acc_r[:, :, 0], acc_r[:, :, 1]
+    elif use_pallas:
+        # Static per-cell superblock expansion (the grid/dynamic
+        # kernels' direct path).
+        sb_cap = direct_body_cap // _SB + direct_cap
+        sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
+            ranges, direct_cell_max, sb_cap
+        )
+        overflow_g = overflow_g | ovf_b
         ax, ay = _evaluate_pallas(
             pg,
             (lx, ly, lm),
@@ -867,10 +1032,15 @@ def grouped_eval(
             g_const=g,
             softening=softening,
             compensated=compensated,
-            dynamic=eval_dynamic,
+            dynamic=(eval_mode == "dynamic"),
             k_tile=eval_k_tile,
         )
     else:
+        sb_cap = direct_body_cap // _SB + direct_cap
+        sb_idx, sb_lo, sb_hi, ovf_b = _expand_ranges_superblocks(
+            ranges, direct_cell_max, sb_cap
+        )
+        overflow_g = overflow_g | ovf_b
         cells = jnp.stack([lx, ly, lm], axis=-1)  # [G, L, 3]
         ax, ay = _evaluate(
             pg,

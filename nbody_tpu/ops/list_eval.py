@@ -321,6 +321,261 @@ def list_eval_dynamic(
     return out[:, :, 0:dims]
 
 
+def _runs_kernel(
+    lens_ref,  # SMEM [2, G]: row 0 = approx lanes, row 1 = direct tiles
+    tgt_ref,  # (1, S, 8) VMEM group body block
+    approx_hbm,  # [G, 8, A] per-group approx lists (ANY/HBM)
+    srct_hbm,  # [8, Npad] ALL sorted sources, transposed (ANY/HBM)
+    tiles_hbm,  # [G, 4, T] int32 per-group direct tile table (ANY/HBM;
+    #             row 3 is padding — int32 sublane tiling is 4)
+    out_ref,  # (1, S, 8) VMEM
+    acc_ref,  # VMEM scratch (S, 8)
+    buf_ref,  # VMEM scratch (2, 8, K_TILE) double buffer
+    tbl_ref,  # SMEM scratch (4, T) int32: rows [128-aligned tile
+    #           start, first valid lane, one-past-last valid lane, pad]
+    sem_ref,  # DMA semaphores (2,)
+    tsem_ref,  # DMA semaphore for the table copy
+    *,
+    softening,
+    k_tile,
+    s_tile,
+    n_s_tiles,
+    dims,
+):
+    i = pl.program_id(0)
+    kt = jnp.int32(k_tile)
+    a_t = (lens_ref[0, i] + kt - 1) // kt  # occupied approx tiles
+    d_t = lens_ref[1, i]  # occupied direct tiles (pre-counted)
+    n_t = a_t + d_t
+
+    # the group's direct tile table: one small DMA into SMEM
+    tdma = pltpu.make_async_copy(tiles_hbm.at[i], tbl_ref, tsem_ref)
+    tdma.start()
+    tdma.wait()
+
+    def start_dma(slot, t):
+        @pl.when(t < a_t)
+        def _approx():
+            pltpu.make_async_copy(
+                approx_hbm.at[i, :, pl.ds(t * kt, k_tile)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            ).start()
+
+        @pl.when(t >= a_t)
+        def _direct():
+            # table starts are 128-aligned by construction
+            # (_expand_runs_tiles); the hint lets Mosaic slice the lane
+            # dimension of the tiled sorted table at a dynamic offset
+            s = pl.multiple_of(tbl_ref[0, t - a_t], 128)
+            pltpu.make_async_copy(
+                srct_hbm.at[:, pl.ds(s, k_tile)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            ).start()
+
+    def wait_dma(slot, t):
+        @pl.when(t < a_t)
+        def _approx():
+            pltpu.make_async_copy(
+                approx_hbm.at[i, :, pl.ds(t * kt, k_tile)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            ).wait()
+
+        @pl.when(t >= a_t)
+        def _direct():
+            s = pl.multiple_of(tbl_ref[0, t - a_t], 128)
+            pltpu.make_async_copy(
+                srct_hbm.at[:, pl.ds(s, k_tile)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            ).wait()
+
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    @pl.when(n_t > 0)
+    def _warmup():
+        start_dma(0, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_tile), 1)
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < n_t)
+        def _prefetch():
+            start_dma(jax.lax.rem(t + 1, 2), t + 1)
+
+        wait_dma(slot, t)
+        src = buf_ref[slot]  # (8, K_TILE)
+        # direct tiles slice the RAW sorted table: lanes outside the
+        # run's [lo, hi) window belong to real neighbouring bodies (or
+        # the alignment prefix) and MUST be masked, unlike the
+        # zero-padded approx lists
+        ti = jnp.maximum(t - a_t, 0)
+        lo = jnp.where(t < a_t, 0, tbl_ref[1, ti])
+        hi = jnp.where(t < a_t, kt, tbl_ref[2, ti])
+        gm = jnp.where(
+            (lane >= lo) & (lane < hi), src[dims : dims + 1, :], 0.0
+        )
+        for si in range(n_s_tiles):
+            tgt = tgt_ref[0, si * s_tile : (si + 1) * s_tile, :]
+            d2 = None
+            disp = []
+            for ax in range(dims):
+                da = src[ax : ax + 1, :] - tgt[:, ax : ax + 1]
+                disp.append(da)
+                d2 = da * da if d2 is None else d2 + da * da
+            valid = (d2 > 0.0) & (gm > 0.0)
+            inv_d = jax.lax.rsqrt(d2)
+            d = d2 * inv_d
+            w = jnp.where(
+                valid, gm / (d2 * (d + jnp.float32(softening))), 0.0
+            )
+            for col, da in enumerate(disp):
+                v = jnp.sum(w * da, axis=1, keepdims=True)
+                acc_ref[
+                    si * s_tile : (si + 1) * s_tile, col : col + 1
+                ] = acc_ref[
+                    si * s_tile : (si + 1) * s_tile, col : col + 1
+                ] + v
+        return 0
+
+    jax.lax.fori_loop(0, n_t, body, 0)
+    out_ref[0, :, :] = acc_ref[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "k_tile", "s_tile", "interpret"),
+)
+def list_eval_runs(
+    targets: jax.Array,  # [G, S, D] group body positions
+    approx: jax.Array,  # [G, 8, A] approx lists (zero-padded tails)
+    sources_t: jax.Array,  # [8, Npad] ALL sorted sources transposed:
+    #                        rows [x, y, (z,) gm, 0...]; tail-padded by
+    #                        >= k_tile zero columns
+    tiles: jax.Array,  # [G, 3, T] int32: rows [tile start in sources_t
+    #                    (multiple of 128), first valid lane, one-past-
+    #                    last valid lane]; start must keep start+k_tile
+    #                    within Npad (a 4th padding row is added here)
+    lens: jax.Array,  # [2, G] int32: [approx lanes, direct tile count]
+    *,
+    softening: float,
+    k_tile: int = 2048,
+    s_tile: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Gather-free list evaluation: direct sources stream straight from
+    the Morton-sorted global table.
+
+    The direct near field of a group is a handful of Morton-contiguous
+    *runs* (interval union of the traversal's per-cell ranges,
+    ops/experiments.merge_ranges promoted to the shipped path).  Instead
+    of materialising per-group source tables via padded superblock
+    gathers — at 3D/1M the gather alone touches ~54M rows/step — the
+    kernel DMAs each run's k-tiles DIRECTLY from the [8, N] transposed
+    sorted table: large contiguous transfers, zero gather, zero padded
+    HBM materialisation.  Cost per group = occupied approx tiles +
+    occupied direct tiles, like :func:`list_eval_dynamic`, but the
+    direct K cap no longer exists at all.
+
+    Per-tile [lo, hi) lane masking against the run window replaces zero
+    padding (raw table lanes outside a run are real neighbouring bodies,
+    and tile starts are rounded DOWN to 128 so Mosaic can prove the
+    dynamic lane-dimension slice aligned — see _expand_runs_tiles).
+    Returns [G, S, D] accelerations.
+    """
+    if jax.config.jax_enable_x64 and not interpret:
+        raise ValueError(
+            "list_eval_runs requires jax_enable_x64=False (TPU Mosaic "
+            "has no int64/f64 lowering)"
+        )
+    g, s, dims = targets.shape
+    if s % s_tile:
+        s_tile = s if s < s_tile else math.gcd(s, s_tile)
+    k_max = max(128, _VMEM_BUDGET // (_LIVE * s_tile * 4)) // 128 * 128
+    if k_tile > k_max:
+        # the tile table is prebuilt with the caller's k_tile stride —
+        # silently shrinking it here would skip source lanes
+        raise ValueError(
+            f"k_tile={k_tile} exceeds the VMEM budget ({k_max} at "
+            f"s_tile={s_tile}); rebuild the tile table with a smaller "
+            "eval_k_tile"
+        )
+    a = approx.shape[2]
+    if a % k_tile:
+        pad = k_tile - a % k_tile
+        approx = jnp.pad(approx, ((0, 0), (0, 0), (0, pad)))
+    n_s_tiles = s // s_tile
+    if tiles.shape[2] % 128:
+        # the per-group table DMA slices [4, T]; Mosaic requires the
+        # minor dimension 128-aligned
+        tiles = jnp.pad(
+            tiles, ((0, 0), (0, 0), (0, 128 - tiles.shape[2] % 128))
+        )
+    # ... and the sublane dimension a multiple of the int32 tiling (4)
+    tiles = jnp.pad(tiles, ((0, 0), (0, 4 - tiles.shape[1]), (0, 0)))
+    t_cap = tiles.shape[2]
+
+    tgt = jnp.zeros((g, s, 8), jnp.float32).at[:, :, 0:dims].set(targets)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s, 8), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s, 8), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((s, 8), jnp.float32),
+            pltpu.VMEM((2, 8, k_tile), jnp.float32),
+            pltpu.SMEM((4, t_cap), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _runs_kernel,
+            softening=float(softening),
+            k_tile=k_tile,
+            s_tile=s_tile,
+            n_s_tiles=n_s_tiles,
+            dims=dims,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, s, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * g * s * (approx.shape[2] + t_cap * k_tile) // 4,
+            bytes_accessed=(g * s * 16 + g * 8 * approx.shape[2]) * 4,
+            transcendentals=g * s * 1024,
+        ),
+        interpret=interpret,
+    )(
+        lens.astype(jnp.int32),
+        tgt,
+        approx,
+        sources_t,
+        tiles.astype(jnp.int32),
+    )
+    return out[:, :, 0:dims]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -16,7 +16,7 @@ import numpy as np
 G = 6.67e-11
 
 
-def bench(n, dims, dyn, ks=(2, 8), init="uniform", reps=2, **kw):
+def bench(n, dims, dyn, ks=(2, 8), init="uniform", reps=2, mode=None, **kw):
     from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
     from nbody_tpu.ops.bh_grouped import bh_accelerations_grouped
 
@@ -38,6 +38,8 @@ def bench(n, dims, dyn, ks=(2, 8), init="uniform", reps=2, **kw):
         return jnp.asarray(rng.uniform(-0.1, 0.1, (n, dims)), jnp.float32)
 
     kw = dict(eval_dynamic=bool(dyn), **kw)
+    if mode:
+        kw["eval_mode"] = mode
     _, ovf = fn(
         cloud(), masses, g=G, theta=0.5, return_diagnostics=True, **kw
     )
@@ -81,5 +83,6 @@ if __name__ == "__main__":
         ks = tuple(int(x) for x in parts.pop("ks", "2:8").split(":"))
         init = parts.pop("init", "uniform")
         reps = int(parts.pop("reps", 2))
-        bench(n, dims, dyn, ks=ks, init=init, reps=reps,
+        mode = parts.pop("mode", None)
+        bench(n, dims, dyn, ks=ks, init=init, reps=reps, mode=mode,
               **{k: int(v) for k, v in parts.items()})

@@ -92,6 +92,72 @@ def test_self_exclusion_d2_guard(kernel):
     assert np.all(out == 0.0)
 
 
+def test_runs_evaluator_matches_xla_whole_path():
+    """eval_mode='runs' (gather-free direct streaming from the sorted
+    table) must reproduce the XLA fallback through the whole grouped
+    engine, in 2D and 3D (interpret mode)."""
+    import nbody_tpu.ops.list_eval as le
+    from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
+    from nbody_tpu.ops.bh_grouped import bh_accelerations_grouped
+
+    orig = le.list_eval_runs
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    G_ = 6.67e-11
+    m = jnp.asarray(10 ** rng.uniform(-1, np.log10(0.5), n), jnp.float32)
+    try:
+        le.list_eval_runs = interp
+        for dims, fn in ((2, bh_accelerations_grouped),
+                         (3, bh3_accelerations_grouped)):
+            p = jnp.asarray(rng.uniform(-0.1, 0.1, (n, dims)), jnp.float32)
+            a_runs, ovf = fn(
+                p, m, g=G_, group_size=512, group_chunk=8,
+                use_pallas=True, eval_mode="runs", eval_k_tile=256,
+                return_diagnostics=True,
+            )
+            a_ref = fn(
+                p, m, g=G_, group_size=512, group_chunk=8,
+                use_pallas=False,
+            )
+            assert int(np.asarray(ovf).sum()) == 0
+            scale = float(jnp.max(jnp.abs(a_ref)))
+            d = float(jnp.max(jnp.abs(a_runs - a_ref)))
+            assert d <= 1e-5 * scale, (dims, d, scale)
+    finally:
+        le.list_eval_runs = orig
+
+
+def test_expand_runs_tiles():
+    """Run -> k-tile table: 128-aligned starts walk the run in k_tile
+    strides, [lo, hi) windows mask the alignment prefix and the run-end
+    remainder, totals and overflow are per group."""
+    from nbody_tpu.ops.bh_grouped import _expand_runs_tiles
+
+    runs = np.zeros((2, 3, 2), np.int32)
+    runs[0, 0] = (5, 300)    # base 0, span 305: tiles (0,[5,256)),
+    #                          (256,[0,49)) at k_tile=256
+    runs[0, 1] = (1000, 10)  # base 896: tile (896,[104,114))
+    runs[1, 0] = (0, 2000)   # 8 tiles > t_cap of 4 -> overflow
+    tiles, n_t, ovf = (
+        np.asarray(a) for a in _expand_runs_tiles(jnp.asarray(runs), 256, 4)
+    )
+    assert n_t.tolist() == [3, 4]
+    assert ovf.tolist() == [False, True]
+    assert tiles[0, 0, :3].tolist() == [0, 256, 896]
+    assert tiles[0, 1, :3].tolist() == [5, 0, 104]
+    assert tiles[0, 2, :3].tolist() == [256, 49, 114]
+    assert (tiles[0, 0, :3] % 128 == 0).all()
+    # overflowing group keeps its first cap-worth of tiles, no spill
+    assert tiles[1, 0, :4].tolist() == [0, 256, 512, 768]
+    assert tiles[1, 1, :4].tolist() == [0] * 4
+    assert tiles[1, 2, :4].tolist() == [256] * 4
+
+
 def test_dynamic_matches_grid_two_sections():
     """Randomized two-section lists (varying per-group occupancy incl.
     zero): the dynamic kernel must reproduce the grid kernel exactly —
