@@ -65,6 +65,18 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="BH traversal capacity (default: auto — grouped "
                         "mode derives a per-level schedule from measured "
                         "demand; exact mode uses 256)")
+    p.add_argument("--eval-mode", choices=["grid", "dynamic", "runs"],
+                   default=None,
+                   help="grouped-BH list evaluator: default auto "
+                        "(occupancy-proportional dynamic kernel); runs = "
+                        "gather-free Morton-run streaming (fastest at 3D "
+                        "scale, see PERF.md)")
+    p.add_argument("--eval-k-tile", type=int, default=2048,
+                   help="list-evaluator k-tile width (smaller cuts tail "
+                        "padding, more loop iterations)")
+    p.add_argument("--run-cap", type=int, default=None,
+                   help="merged Morton runs per group for --eval-mode "
+                        "runs (default: 2D 256, 3D 512)")
     # init modes (README.md:14-18: CPU init / GPU init / load from files)
     p.add_argument("--init-mode", choices=["uniform", "blobs"],
                    default="uniform",
@@ -138,6 +150,9 @@ def _build_config(args):
         source_block=args.source_block,
         verbose_occupancy=args.verbose_occupancy,
         frontier_cap=args.frontier_cap,
+        eval_mode=args.eval_mode,
+        eval_k_tile=args.eval_k_tile,
+        run_cap=args.run_cap,
         save_positions=args.save_positions,
         save_tree_dumps=args.save_tree_dumps,
         output_dir=args.output_dir,

@@ -138,6 +138,9 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                     group_chunk=config.group_chunk,
                     return_diagnostics=return_diagnostics,
                     compensated=config.compensated,
+                    eval_mode=config.eval_mode,
+                    eval_k_tile=config.eval_k_tile,
+                    run_cap=config.run_cap,
                 )
 
             return accel
@@ -178,6 +181,9 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                 group_chunk=config.group_chunk,
                 return_diagnostics=return_diagnostics,
                 compensated=config.compensated,
+                eval_mode=config.eval_mode,
+                eval_k_tile=config.eval_k_tile,
+                run_cap=config.run_cap,
             )
 
         return accel

@@ -41,6 +41,28 @@ def test_run_prints_timing_contract(tmp_path, capsys):
     assert PARALLEL_RE.search(out), out
 
 
+def test_run_eval_mode_flags(tmp_path, capsys):
+    """--eval-mode/--eval-k-tile/--run-cap reach the grouped engine
+    (smoke: the kwargs are accepted end-to-end; on CPU the XLA
+    fallback evaluates whatever mode is requested)."""
+    rc = main(
+        [
+            "run",
+            "--engine", "barnes_hut",
+            "--n-bodies", "512",
+            "--steps", "1",
+            "--group-size", "128",
+            "--eval-mode", "runs",
+            "--eval-k-tile", "256",
+            "--run-cap", "64",
+            "--output-dir", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert TOTAL_RE.search(out), out
+
+
 def test_run_with_files_and_init_roundtrip(tmp_path, capsys):
     rc = main(
         [
