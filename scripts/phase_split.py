@@ -69,6 +69,19 @@ def split(n, dims, gs=2048, ks=(1, 3), reps=2, **kw):
             )
             if depth == 1:
                 return lists[0][0, 0] + ranges[0, 0, 0].astype(jnp.float32)
+            if kw.get("eval_mode") == "runs":
+                from nbody_tpu.ops.bh_grouped import _expand_runs_tiles
+                from nbody_tpu.ops.experiments import merge_ranges
+
+                kt = kw.get("eval_k_tile", 2048)
+                rc = kw.get("run_cap") or 512
+                merged, _ = merge_ranges(ranges, cap=rc)
+                tiles, n_t, _ = _expand_runs_tiles(
+                    merged, kt, caps["direct_body_cap"] // kt + 2 * rc
+                )
+                if depth == 2:
+                    return lists[0][0, 0] + tiles.astype(jnp.float32)[0, 0, 0]
+                raise ValueError
             sb_cap = caps["direct_body_cap"] // 8 + caps["direct_cap"]
             sb_idx, lo, hi, ovf2 = _expand_ranges_superblocks(
                 ranges, dcm, sb_cap
@@ -118,6 +131,19 @@ def split(n, dims, gs=2048, ks=(1, 3), reps=2, **kw):
             )
             if depth == 1:
                 return lists[0][0, 0] + ranges[0, 0, 0].astype(jnp.float32)
+            if kw.get("eval_mode") == "runs":
+                from nbody_tpu.ops.bh_grouped import _expand_runs_tiles
+                from nbody_tpu.ops.experiments import merge_ranges
+
+                kt = kw.get("eval_k_tile", 2048)
+                rc = kw.get("run_cap") or 256
+                merged, _ = merge_ranges(ranges, cap=rc)
+                tiles, n_t, _ = _expand_runs_tiles(
+                    merged, kt, caps["direct_body_cap"] // kt + 2 * rc
+                )
+                if depth == 2:
+                    return lists[0][0, 0] + tiles.astype(jnp.float32)[0, 0, 0]
+                raise ValueError
             sb_cap = caps["direct_body_cap"] // 8 + caps["direct_cap"]
             sb_idx, lo, hi, ovf2 = _expand_ranges_superblocks(
                 ranges, 32, sb_cap
@@ -177,5 +203,8 @@ if __name__ == "__main__":
         gs = int(parts.pop("gs", 2048))
         ks = tuple(int(x) for x in parts.pop("ks", "1:3").split(":"))
         reps = int(parts.pop("reps", 2))
-        split(n, dims, gs=gs, ks=ks, reps=reps,
-              **{k: int(v) for k, v in parts.items()})
+        mode = parts.pop("mode", None)
+        kw = {k: int(v) for k, v in parts.items()}
+        if mode:
+            kw["eval_mode"] = mode
+        split(n, dims, gs=gs, ks=ks, reps=reps, **kw)
