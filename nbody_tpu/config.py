@@ -162,14 +162,15 @@ class SimConfig:
     direct_body_cap: Optional[int] = None
     group_chunk: int = 32
     # List-evaluation kernel selection (ops.list_eval): None = auto
-    # (the occupancy-proportional dynamic manual-DMA kernel); "grid"
-    # (padded-grid kernel; the Kahan path), "dynamic", or "runs"
-    # (gather-free streaming of Morton runs straight from the sorted
-    # table — the measured winner at 3D scale, see PERF.md).
+    # ("runs" — gather-free streaming of Morton runs straight from the
+    # sorted table, the measured winner at every scale in both dims;
+    # see PERF.md); "grid" (padded-grid kernel; the Kahan path) or
+    # "dynamic" (occupancy-proportional manual-DMA kernel).
     eval_mode: Optional[str] = None
-    # k-tile width of the list evaluators; smaller tiles cut per-group
+    # k-tile width of the list evaluators; None = auto (runs: 256 in
+    # 2D / 512 in 3D; grid/dynamic: 2048).  Smaller tiles cut per-group
     # tail padding at the cost of more loop iterations.
-    eval_k_tile: int = 2048
+    eval_k_tile: Optional[int] = None
     # Cap on merged Morton runs per group (eval_mode="runs" only);
     # None = the engine default (2D 256, 3D 512).
     run_cap: Optional[int] = None

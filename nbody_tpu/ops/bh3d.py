@@ -92,12 +92,27 @@ def direct_cell_max_default(n_bodies: int) -> int:
 def cap_defaults_3d(n_bodies: int) -> dict:
     peak = frontier_peak_3d(n_bodies)
     dcm = direct_cell_max_default(n_bodies)
-    return dict(
+    if dcm >= 128:
+        # The dcm=128 walk terminates far shallower than the dcm=32
+        # calibration the peak-scaled caps were sized for.  Measured
+        # per-group demand at 1M (gs=2048, theta=0.5, uniform + two-blob
+        # collapsed): approx <= 4,964, direct cells <= 3,619 — the old
+        # 5/4*peak (40,960) and 3/4*peak (24,576) caps were 8x oversized
+        # and the final compaction sorts + the [G, 8, list_cap] approx
+        # table (671 MB/step of HBM at 1M) paid for it.  2.3-2.5x
+        # headroom, multiple-of-2048 list width for the Pallas section
+        # offset; the overflow flag guards anything beyond.
+        list_cap = max(4096, -(-(3 * peak // 8) // 2048) * 2048)
+        direct_cap = max(2048, peak // 4)
+    else:
         # 5/4*peak covers the collapsed-state approx hump (1.2x peak
         # measured); rounded to a multiple of 2048 so the Pallas section
         # offset tiles at the full k_tile
-        list_cap=max(4096, -(-(5 * peak // 4) // 2048) * 2048),
-        direct_cap=max(2048, 3 * peak // 4),
+        list_cap = max(4096, -(-(5 * peak // 4) // 2048) * 2048)
+        direct_cap = max(2048, 3 * peak // 4)
+    return dict(
+        list_cap=list_cap,
+        direct_cap=direct_cap,
         # dcm=128 direct sections run to ~535K bodies/group at 1M
         # collapsed (measured); 20*peak = 655,360 there
         direct_body_cap=max(32768, (12 if dcm <= 32 else 20) * peak),
@@ -116,10 +131,15 @@ def frontier_schedule_3d(
     * N < 512K (dcm=32): the 2D-style lstar hump model — demand peaks
       where bodies/cell ~ 16 and has a max-depth tail for collapsed
       states.
-    * N >= 512K (dcm=128): the larger direct-cell threshold collapses
-      the hump (1M: 33K-63K -> 7K/19K cells measured), so flat peak//2
-      mid-levels suffice and the compaction sorts (width 8 x cap, the
-      collect phase's cost) stay narrow."""
+    * N >= 512K (dcm=128): the walk terminates at the level where
+      bodies/cell ~ dcm — l_t = ceil(log8(N/dcm)) — on uniform states
+      (measured at 1M: frontier 1,298 @l4, 5,976 @l5=l_t, ZERO @l6/l7);
+      collapsed states carry a small deep tail (1,287 @l6 / 4,736 @l7
+      two-blob measured).  The caps ramp to 3/8*peak at l_t and keep
+      peak//8 elsewhere, peak//2 at max_depth (2-3.5x measured
+      headroom), replacing the round-2 flat peak//2 schedule that was
+      4-10x oversized — the compaction sorts (width 8 x cap) and the
+      per-level gathers are the collect phase's cost."""
     import math
 
     hump = direct_cell_max_default(n_bodies) < 128
@@ -127,19 +147,22 @@ def frontier_schedule_3d(
     # only shift DEEPER mid-run (clustering / outlier-driven root-bbox
     # expansion raise the core's per-cell density — the 2D engine's
     # measured midsize-N failure, see bh_grouped.frontier_schedule).
-    # The no-hump regime (dcm=128, N >= 512K) keeps its measured flat
-    # peak//2 mid-levels + full-peak max_depth tail; the overflow flag
-    # and the run loop's per-step warning guard pathological states.
+    # The overflow flag and the run loop's per-step warning guard
+    # pathological states in both regimes.
     lf = math.log(max(n_bodies, 128) / 16, 8)
     lo_star = min(max_depth, max(3, math.floor(lf)))
+    dcm = direct_cell_max_default(n_bodies)
+    l_t = min(
+        max_depth, max(3, math.ceil(math.log(max(n_bodies // dcm, 8), 8)))
+    )
     shape = []
     for level in range(max_depth + 1):
         if level <= 2:
             c = 8**level
         elif level == max_depth:
-            c = peak  # collapsed-state tail (measured 18,888 @1M blobs)
+            c = peak if hump else peak // 2
         elif not hump:
-            c = peak // 2
+            c = 3 * peak // 8 if level == l_t else peak // 8
         elif level >= lo_star:
             c = peak
         else:
@@ -576,7 +599,7 @@ def bh3_accelerations_grouped(
     n_sub: int | None = None,
     compensated: bool = False,
     eval_dynamic: bool = True,
-    eval_k_tile: int = 2048,
+    eval_k_tile: int | None = None,
     eval_mode: str | None = None,
     run_cap: int | None = None,
 ):
@@ -650,7 +673,7 @@ def grouped_eval_3d(
     n_sub: int | None = None,
     compensated: bool = False,
     eval_dynamic: bool = True,
-    eval_k_tile: int = 2048,
+    eval_k_tile: int | None = None,
     eval_mode: str | None = None,
     run_cap: int | None = None,
     window_cells=None,
@@ -734,9 +757,23 @@ def grouped_eval_3d(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if eval_mode is None:
-        eval_mode = "dynamic" if eval_dynamic else "grid"
+        # runs is the measured default winner on TPU at every 3D scale
+        # (PERF.md round-3 table: 64K 17.1 vs 21.0, 256K 220 vs 263,
+        # 1M 1490 vs 2207 ms/step)
+        if not eval_dynamic:
+            eval_mode = "grid"
+        else:
+            eval_mode = "runs" if use_pallas else "dynamic"
     if compensated:
         eval_mode = "grid"
+    if eval_k_tile is None:
+        # 3D near fields are ~10x wider than 2D: 512 is k-insensitive
+        # at 1M (1479/1490/1497 at 256/512/1024) and wins at 256K
+        eval_k_tile = 512 if eval_mode == "runs" else 2048
+    if eval_mode == "runs":
+        from .list_eval import runs_k_max
+
+        eval_k_tile = min(eval_k_tile, runs_k_max())
 
     if use_pallas and eval_mode == "runs":
         # Gather-free direct path (see ops/bh_grouped._evaluate_pallas_runs

@@ -809,7 +809,7 @@ def bh_accelerations_grouped(
     n_sub: int | None = None,
     compensated: bool = False,
     eval_dynamic: bool = True,
-    eval_k_tile: int = 2048,
+    eval_k_tile: int | None = None,
     eval_mode: str | None = None,
     run_cap: int | None = None,
 ):
@@ -883,7 +883,7 @@ def grouped_eval(
     n_sub: int | None = None,
     compensated: bool = False,
     eval_dynamic: bool = True,
-    eval_k_tile: int = 2048,
+    eval_k_tile: int | None = None,
     eval_mode: str | None = None,
     run_cap: int | None = None,
     window_cells=None,
@@ -989,9 +989,23 @@ def grouped_eval(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if eval_mode is None:
-        eval_mode = "dynamic" if eval_dynamic else "grid"
+        # runs (gather-free) is the measured default winner on TPU at
+        # every 2D scale (PERF.md round-3 table); the legacy
+        # eval_dynamic=False knob still selects the grid kernel.
+        if not eval_dynamic:
+            eval_mode = "grid"
+        else:
+            eval_mode = "runs" if use_pallas else "dynamic"
     if compensated:
         eval_mode = "grid"  # the Kahan path lives in the grid kernel
+    if eval_k_tile is None:
+        # runs: small tiles cut the ~k/2-per-run padding of the few-run
+        # 2D near fields; grid/dynamic: 2048 is the VMEM-budget maximum
+        eval_k_tile = 256 if eval_mode == "runs" else 2048
+    if eval_mode == "runs":
+        from .list_eval import runs_k_max
+
+        eval_k_tile = min(eval_k_tile, runs_k_max())
 
     if use_pallas and eval_mode == "runs":
         # Gather-free direct path: interval-union the per-cell ranges

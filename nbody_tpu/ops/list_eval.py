@@ -43,6 +43,15 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 _LIVE = 3
 
 
+def runs_k_max(s_tile: int = 512) -> int:
+    """Largest k_tile the runs kernel compiles at: its measured scoped-
+    VMEM footprint is ~17.5 MB at (s_tile, k_tile) = (512, 2048) — over
+    the 16 MB limit — and linear in k_tile (1024 compiles and runs); the
+    per-iteration live set is wider than the grid kernel's (window mask
+    + where chains), hence the doubled live-count."""
+    return max(128, _VMEM_BUDGET // (2 * _LIVE * s_tile * 4)) // 128 * 128
+
+
 def _kernel(
     lens_ref,
     tgt_ref,
@@ -495,7 +504,7 @@ def list_eval_runs(
     g, s, dims = targets.shape
     if s % s_tile:
         s_tile = s if s < s_tile else math.gcd(s, s_tile)
-    k_max = max(128, _VMEM_BUDGET // (_LIVE * s_tile * 4)) // 128 * 128
+    k_max = runs_k_max(s_tile)
     if k_tile > k_max:
         # the tile table is prebuilt with the caller's k_tile stride —
         # silently shrinking it here would skip source lanes

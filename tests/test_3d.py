@@ -152,6 +152,7 @@ def test_list_eval_pallas_3d_interpret(cloud3):
 
     orig_grid = le.list_eval_pallas
     orig_dyn = le.list_eval_dynamic
+    orig_runs = le.list_eval_runs
 
     def interp_grid(*args, **kw):
         kw["interpret"] = True
@@ -161,9 +162,14 @@ def test_list_eval_pallas_3d_interpret(cloud3):
         kw["interpret"] = True
         return orig_dyn(*args, **kw)
 
+    def interp_runs(*args, **kw):
+        kw["interpret"] = True
+        return orig_runs(*args, **kw)
+
     try:
         le.list_eval_pallas = interp_grid
         le.list_eval_dynamic = interp_dyn
+        le.list_eval_runs = interp_runs
         a_pl = np.asarray(
             bh3_accelerations_grouped(
                 pos, m, g=G, theta=0.5, use_pallas=True
@@ -172,6 +178,7 @@ def test_list_eval_pallas_3d_interpret(cloud3):
     finally:
         le.list_eval_pallas = orig_grid
         le.list_eval_dynamic = orig_dyn
+        le.list_eval_runs = orig_runs
     scale = np.abs(a_xla).max()
     assert np.abs(a_pl - a_xla).max() / scale < 1e-5
 
