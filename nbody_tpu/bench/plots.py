@@ -102,6 +102,175 @@ def trajectories_3d(positions_file: str, out_png: str | None = None,
     return out
 
 
+_MEASURED = "#2563eb"  # single measured series (ink-dark blue on white)
+_IDEAL = "#6b7280"  # reference/ideal lines: neutral gray, dashed
+
+
+def _parse_scaling_results(results_file: str):
+    """Parse a sweep results file (the reference scripts' format, §2.11):
+    config lines ``n_bodies, n_threads, n_simulations[, repetition],
+    <stdout>`` followed by the two timing lines.  Thread fields may be
+    products like ``1024*16`` (plot_first_scale.py:103-116).
+
+    Returns (records, n_bodies_set) where records is a list of
+    (n_bodies, procs, parallel_us, total_ms)."""
+    import re
+
+    cfg_re = re.compile(r"^\s*(\d+)\s*,\s*([\d*]+)\s*,\s*(\d+)\s*,")
+    par_re = re.compile(
+        r"GPU parallel computation took\s+(\d+)\s+microseconds"
+    )
+    tot_re = re.compile(
+        r"GPU total computation took\s+(\d+)\s+milliseconds"
+    )
+    records = []
+    cur = None  # (n_bodies, procs)
+    par = tot = None
+
+    def flush():
+        nonlocal par, tot
+        if cur is not None and (par is not None or tot is not None):
+            records.append((cur[0], cur[1], par, tot))
+        par = tot = None
+
+    with open(results_file) as f:
+        for line in f:
+            m = cfg_re.match(line)
+            if m:
+                flush()
+                procs = 1
+                for part in m.group(2).split("*"):
+                    procs *= int(part)
+                cur = (int(m.group(1)), procs)
+            m = par_re.search(line)
+            if m:
+                par = float(m.group(1))
+            m = tot_re.search(line)
+            if m:
+                tot = float(m.group(1))
+    flush()
+    return records, sorted({r[0] for r in records})
+
+
+def scaling_analysis(results_file: str, out_prefix: str | None = None,
+                     metric: str = "parallel"):
+    """plot_first_scale.py / plot_second_scale.py equivalent analysis.
+
+    Strong-scaling files (one n_bodies, varying processor count) get the
+    reference's three analyses (plot_first_scale.py:105-154, 160-325):
+    mean runtime T(p) with the ideal T(1)/p line, speedup S(p) = T(1)/T(p)
+    against the linear reference, and efficiency E(p) = S(p)/p.  Files
+    with a varying n_bodies axis (weak scaling / bodies sweeps) get the
+    runtime-vs-N errorbar plot (plot_second_scale.py:58-88).
+
+    Returns the list of PNG paths written."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    records, bodies_axis = _parse_scaling_results(results_file)
+    if not records:
+        raise ValueError(f"no timed runs parsed from {results_file}")
+    col = 2 if metric == "parallel" else 3
+    unit = "µs" if metric == "parallel" else "ms"
+    records = [r for r in records if r[col] is not None]
+    prefix = out_prefix or os.path.splitext(results_file)[0]
+    outs = []
+
+    if len(bodies_axis) > 1:  # weak / bodies sweep
+        by_n: dict[int, list[float]] = {}
+        for r in records:
+            by_n.setdefault(r[0], []).append(r[col])
+        ns = sorted(by_n)
+        mean = np.array([np.mean(by_n[n]) for n in ns])
+        std = np.array([np.std(by_n[n]) for n in ns])
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ax.errorbar(ns, mean, yerr=std, marker="o", markersize=4,
+                    linewidth=1.5, capsize=3, color=_MEASURED)
+        ax.set_xscale("log", base=2)
+        ax.set_yscale("log")
+        ax.set_xlabel("Number of bodies")
+        ax.set_ylabel(f"Mean runtime ({unit}, ±σ)")
+        ax.set_title(f"Runtime vs problem size ({metric} time)")
+        ax.grid(True, alpha=0.3)
+        out = f"{prefix}_runtime_vs_n.png"
+        fig.savefig(out, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return [out]
+
+    by_p: dict[int, list[float]] = {}
+    for r in records:
+        by_p.setdefault(r[1], []).append(r[col])
+    ps = sorted(by_p)
+    mean = np.array([np.mean(by_p[p]) for p in ps])
+    p_arr = np.array(ps, float)
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(p_arr, mean, marker="o", markersize=4, linewidth=1.5,
+            color=_MEASURED, label="measured")
+    if ps[0] == 1:
+        ax.plot(p_arr, mean[0] / p_arr, linestyle="--", linewidth=1.2,
+                color=_IDEAL, label="ideal T(1)/p")
+    ax.set_xscale("log", base=2)
+    ax.set_yscale("log")
+    ax.set_xlabel("Processors")
+    ax.set_ylabel(f"Mean runtime ({unit})")
+    ax.set_title(f"Strong scaling: runtime ({metric} time)")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    out = f"{prefix}_runtime.png"
+    fig.savefig(out, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    outs.append(out)
+
+    if ps[0] != 1:
+        return outs  # no T(1): speedup/efficiency undefined, like the
+        #               reference (plot_first_scale.py:122-125)
+    speedup = mean[0] / mean
+    eff = speedup / p_arr
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(p_arr, speedup, marker="o", markersize=4, linewidth=1.5,
+            color=_MEASURED, label="measured S(p)")
+    ax.plot(p_arr, p_arr, linestyle="--", linewidth=1.2, color=_IDEAL,
+            label="linear S=p")
+    # the reference shades super/linear/sub-linear bands
+    # (plot_first_scale.py:216-285); light tints + labels here
+    ax.fill_between(p_arr, p_arr, np.maximum(speedup.max(), p_arr.max()),
+                    color="#16a34a", alpha=0.06)
+    ax.fill_between(p_arr, 0, p_arr, color="#dc2626", alpha=0.05)
+    ax.set_xscale("log", base=2)
+    ax.set_yscale("log", base=2)
+    ax.set_xlabel("Processors")
+    ax.set_ylabel("Speedup S(p) = T(1)/T(p)")
+    ax.set_title(f"Strong scaling: speedup ({metric} time)")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    out = f"{prefix}_speedup.png"
+    fig.savefig(out, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    outs.append(out)
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(p_arr, eff, marker="o", markersize=4, linewidth=1.5,
+            color=_MEASURED, label="measured E(p)")
+    ax.axhline(1.0, linestyle="--", linewidth=1.2, color=_IDEAL,
+               label="ideal E=1")
+    ax.set_xscale("log", base=2)
+    ax.set_ylim(0, max(1.1, float(eff.max()) * 1.05))
+    ax.set_xlabel("Processors")
+    ax.set_ylabel("Efficiency E(p) = S(p)/p")
+    ax.set_title(f"Strong scaling: efficiency ({metric} time)")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    out = f"{prefix}_efficiency.png"
+    fig.savefig(out, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    outs.append(out)
+    return outs
+
+
 def quadtree(dump_file: str, out_png: str | None = None):
     """plot_quadtree.py equivalent using a LineCollection (fast at 350K
     nodes)."""

@@ -67,13 +67,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "demand; exact mode uses 256)")
     p.add_argument("--eval-mode", choices=["grid", "dynamic", "runs"],
                    default=None,
-                   help="grouped-BH list evaluator: default auto "
-                        "(occupancy-proportional dynamic kernel); runs = "
-                        "gather-free Morton-run streaming (fastest at 3D "
-                        "scale, see PERF.md)")
-    p.add_argument("--eval-k-tile", type=int, default=2048,
-                   help="list-evaluator k-tile width (smaller cuts tail "
-                        "padding, more loop iterations)")
+                   help="grouped-BH list evaluator: default auto (runs = "
+                        "gather-free Morton-run streaming, the measured "
+                        "winner at every scale; see PERF.md)")
+    p.add_argument("--eval-k-tile", type=int, default=None,
+                   help="list-evaluator k-tile width (default auto: "
+                        "runs 256/512 by dims, grid/dynamic 2048)")
     p.add_argument("--run-cap", type=int, default=None,
                    help="merged Morton runs per group for --eval-mode "
                         "runs (default: 2D 256, 3D 512)")
@@ -441,10 +440,16 @@ def cmd_plot(args) -> int:
         print(plots.trajectories_3d(args.positions_3d, args.out))
     if args.quadtree:
         print(plots.quadtree(args.quadtree, args.out))
-    if not args.positions and not args.quadtree and not args.positions_3d:
+    if args.analysis:
+        for png in plots.scaling_analysis(
+            args.analysis, args.out, metric=args.metric
+        ):
+            print(png)
+    if not (args.positions or args.quadtree or args.positions_3d
+            or args.analysis):
         print(
-            "nothing to plot: pass --positions, --positions-3d and/or "
-            "--quadtree"
+            "nothing to plot: pass --positions, --positions-3d, "
+            "--quadtree and/or --analysis"
         )
         return 2
     return 0
@@ -548,6 +553,15 @@ def main(argv=None) -> int:
                         "replacement for the reference's broken "
                         "plot_3d.py)")
     p_plot.add_argument("--quadtree", default=None, metavar="FILE")
+    p_plot.add_argument("--analysis", default=None, metavar="FILE",
+                        help="sweep results file: emit the reference's "
+                        "mean-runtime / speedup / efficiency analyses "
+                        "(plot_first_scale.py:105-154) or the runtime-"
+                        "vs-N errorbar plot for weak/bodies sweeps "
+                        "(plot_second_scale.py:58-88)")
+    p_plot.add_argument("--metric", choices=["parallel", "total"],
+                        default="parallel",
+                        help="which timing line the analysis uses")
     p_plot.add_argument("--out", default=None)
     p_plot.set_defaults(fn=cmd_plot)
 

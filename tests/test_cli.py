@@ -371,3 +371,37 @@ def test_init_mode_blobs(tmp_path, capsys):
     )
     assert rc == 0
     assert TOTAL_RE.search(capsys.readouterr().out)
+
+
+def test_plot_scaling_analysis(tmp_path, monkeypatch, capsys):
+    """plot --analysis emits the reference's mean/speedup/efficiency
+    analyses (plot_first_scale.py:105-154) from a strong-scaling results
+    file, and the runtime-vs-N errorbar plot (plot_second_scale.py:58-88)
+    from a bodies sweep."""
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    strong = []
+    for p, us in [(1, 8000), (1, 8200), (2, 4500), (2, 4300),
+                  ("1024*2", 300)]:
+        strong.append(f"64, {p}, 2, run")
+        strong.append(f"GPU parallel computation took {us} microseconds.")
+        strong.append("GPU total computation took 12 milliseconds.")
+    open("strong.txt", "w").write("\n".join(strong) + "\n")
+    assert main(["plot", "--analysis", "strong.txt"]) == 0
+    for suffix in ("runtime", "speedup", "efficiency"):
+        assert os.path.exists(f"strong_{suffix}.png"), suffix
+
+    from nbody_tpu.bench.plots import _parse_scaling_results
+
+    records, ns = _parse_scaling_results("strong.txt")
+    # the reference parser's product thread syntax (plot_first_scale.py:103)
+    assert (64, 2048, 300.0, 12.0) in records
+
+    bodies = []
+    for n, us in [(32, 100), (64, 410), (64, 390)]:
+        bodies.append(f"{n}, 1, 2, 1, run")
+        bodies.append(f"GPU parallel computation took {us} microseconds.")
+    open("bodies.txt", "w").write("\n".join(bodies) + "\n")
+    assert main(["plot", "--analysis", "bodies.txt"]) == 0
+    assert os.path.exists("bodies_runtime_vs_n.png")
