@@ -73,7 +73,7 @@ def split(n, dims, gs=2048, ks=(1, 3), reps=2, **kw):
                 from nbody_tpu.ops.bh_grouped import _expand_runs_tiles
                 from nbody_tpu.ops.experiments import merge_ranges
 
-                kt = kw.get("eval_k_tile", 2048)
+                kt = kw.get("eval_k_tile") or 512  # engine auto (3D)
                 rc = kw.get("run_cap") or 512
                 merged, _ = merge_ranges(ranges, cap=rc)
                 tiles, n_t, _ = _expand_runs_tiles(
@@ -135,7 +135,7 @@ def split(n, dims, gs=2048, ks=(1, 3), reps=2, **kw):
                 from nbody_tpu.ops.bh_grouped import _expand_runs_tiles
                 from nbody_tpu.ops.experiments import merge_ranges
 
-                kt = kw.get("eval_k_tile", 2048)
+                kt = kw.get("eval_k_tile") or 256  # engine auto (2D)
                 rc = kw.get("run_cap") or 256
                 merged, _ = merge_ranges(ranges, cap=rc)
                 tiles, n_t, _ = _expand_runs_tiles(
