@@ -182,6 +182,7 @@ def _collect_lists_3d(
     direct_cap: int,
     direct_cell_max: int,
     window_cells=None,
+    return_demand: bool = False,
 ):
     """Per-group interaction lists via the dual cell-vs-bbox octree walk.
 
@@ -194,12 +195,21 @@ def _collect_lists_3d(
     overflow [G] bool).  ``window_cells`` gates direct emission to the
     resident Morton window (sharded multi-chip mode — see the 2D
     mirror, ops/bh_grouped._collect_lists).
+
+    ``return_demand=True`` appends a calibration dict (the measurements
+    behind frontier_schedule_3d / cap_defaults_3d): ``frontier``
+    [max_depth] max-over-groups opened-children demand entering each
+    level, ``approx``/``direct`` max per-group totals — counted BEFORE
+    truncation so demand above a cap stays visible, but only up to what
+    the given caps let the walk reach (calibrate with generous caps;
+    scripts/demand.py).
     """
     x0, x1, y0, y1, z0, z1 = bbox
     g = x0.shape[0]
     f32 = x0.dtype
     max_depth = tree.max_depth
     overflow = jnp.zeros((g,), bool)
+    demand = []
 
     leaf_cnt = tree.leaf_counts()
     leaf_cum = jnp.concatenate(
@@ -283,6 +293,9 @@ def _collect_lists_3d(
         ).reshape(g, -1)
         cmask = jnp.repeat(open_, 8, axis=1) & (child_bits > 0)
 
+        if return_demand:
+            demand.append(jnp.max(jnp.sum(cmask, axis=1)))
+
         next_cap = min(8 * fcap, frontier_caps[level + 1])
         (nf,), ovf = _sort_compact(
             cmask, [jnp.where(cmask, children, -1)], next_cap
@@ -313,6 +326,17 @@ def _collect_lists_3d(
     overflow = overflow | ovf_a | ovf_d
 
     ranges = jnp.stack([ds, dc], axis=-1)  # [G, D, 2]
+    if return_demand:
+        stats = dict(
+            frontier=jnp.stack(demand),
+            approx=jnp.max(
+                jnp.sum(jnp.concatenate(app_mask, axis=1), axis=1)
+            ),
+            direct=jnp.max(
+                jnp.sum(jnp.concatenate(dir_mask, axis=1), axis=1)
+            ),
+        )
+        return (lx, ly, lz, lm), ranges, overflow, stats
     return (lx, ly, lz, lm), ranges, overflow
 
 

@@ -176,6 +176,7 @@ def _collect_lists(
     direct_cap: int,
     direct_cell_max: int,
     window_cells=None,
+    return_demand: bool = False,
 ):
     """Per-group interaction lists via a dual (cell-vs-group-bbox) walk.
 
@@ -219,6 +220,8 @@ def _collect_lists(
     f32 = x0.dtype
     max_depth = tree.max_depth
     overflow = jnp.zeros((g,), bool)
+    demand = []  # return_demand: per-level pre-truncation calibration
+    #              measurements (see the 3D mirror's docstring)
 
     # Per-cell packed rows come straight from the tree build
     # (Quadtree.raw, cols per tree.RAW_*): a row gather costs the same as
@@ -323,6 +326,9 @@ def _collect_lists(
         ).reshape(g, -1)
         cmask = jnp.repeat(open_, 4, axis=1) & (child_bits > 0)
 
+        if return_demand:
+            demand.append(jnp.max(jnp.sum(cmask, axis=1)))
+
         next_cap = min(4 * fcap, frontier_caps[level + 1])
         (nf,), ovf = _sort_compact(
             cmask, [jnp.where(cmask, children, -1)], next_cap
@@ -353,6 +359,17 @@ def _collect_lists(
     overflow = overflow | ovf_a | ovf_d
 
     ranges = jnp.stack([ds, dc], axis=-1)  # [G, D, 2]
+    if return_demand:
+        stats = dict(
+            frontier=jnp.stack(demand),
+            approx=jnp.max(
+                jnp.sum(jnp.concatenate(app_mask, axis=1), axis=1)
+            ),
+            direct=jnp.max(
+                jnp.sum(jnp.concatenate(dir_mask, axis=1), axis=1)
+            ),
+        )
+        return (lx, ly, lm), ranges, overflow, stats
     return (lx, ly, lm), ranges, overflow
 
 
