@@ -86,6 +86,12 @@ def _base_config(args):
         target_block=args.target_block,
         source_block=args.source_block,
         frontier_cap=args.frontier_cap,
+        eval_mode=args.eval_mode,
+        eval_k_tile=args.eval_k_tile,
+        run_cap=args.run_cap,
+        split_eval={"auto": None, "on": True, "off": False}[
+            args.split_eval
+        ],
     )
 
 

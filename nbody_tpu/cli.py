@@ -76,6 +76,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--run-cap", type=int, default=None,
                    help="merged Morton runs per group for --eval-mode "
                         "runs (default: 2D 256, 3D 512)")
+    p.add_argument("--split-eval", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="quarter-split runs evaluation: each Morton "
+                        "quarter of a group evaluates only the direct "
+                        "cells its own sub-bboxes fail theta against "
+                        "(default auto: on for groups >= 512)")
     # init modes (README.md:14-18: CPU init / GPU init / load from files)
     p.add_argument("--init-mode", choices=["uniform", "blobs"],
                    default="uniform",
@@ -152,6 +158,9 @@ def _build_config(args):
         eval_mode=args.eval_mode,
         eval_k_tile=args.eval_k_tile,
         run_cap=args.run_cap,
+        split_eval={"auto": None, "on": True, "off": False}[
+            args.split_eval
+        ],
         save_positions=args.save_positions,
         save_tree_dumps=args.save_tree_dumps,
         output_dir=args.output_dir,

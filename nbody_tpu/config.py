@@ -174,6 +174,12 @@ class SimConfig:
     # Cap on merged Morton runs per group (eval_mode="runs" only);
     # None = the engine default (2D 256, 3D 512).
     run_cap: Optional[int] = None
+    # Quarter-split evaluation (runs mode): None = auto (on for groups
+    # >= 512 bodies — each Morton quarter evaluates only the direct
+    # cells its own sub-bboxes fail theta against; the rest contribute
+    # as COMs through an extension section).  False forces whole-group
+    # evaluation.
+    split_eval: Optional[bool] = None
 
     # Parallelism.
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)

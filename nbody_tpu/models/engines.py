@@ -141,6 +141,7 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                     eval_mode=config.eval_mode,
                     eval_k_tile=config.eval_k_tile,
                     run_cap=config.run_cap,
+                    split_eval=config.split_eval,
                 )
 
             return accel
@@ -184,6 +185,7 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                 eval_mode=config.eval_mode,
                 eval_k_tile=config.eval_k_tile,
                 run_cap=config.run_cap,
+                split_eval=config.split_eval,
             )
 
         return accel

@@ -34,6 +34,7 @@ from ..config import BH_SOFTENING, MASS_SKIP_THRESHOLD, THETA_DEFAULT
 from .bh_grouped import (
     _SB,
     _evaluate_pallas_runs,
+    _evaluate_pallas_runs_split,
     _expand_ranges_superblocks,
     _pow2_ceil,
     _sort_compact,
@@ -94,15 +95,16 @@ def cap_defaults_3d(n_bodies: int) -> dict:
     dcm = direct_cell_max_default(n_bodies)
     if dcm >= 128:
         # The dcm=128 walk terminates far shallower than the dcm=32
-        # calibration the peak-scaled caps were sized for.  Measured
-        # per-group demand at 1M (gs=2048, theta=0.5, uniform + two-blob
-        # collapsed): approx <= 4,964, direct cells <= 3,619 — the old
-        # 5/4*peak (40,960) and 3/4*peak (24,576) caps were 8x oversized
-        # and the final compaction sorts + the [G, 8, list_cap] approx
-        # table (671 MB/step of HBM at 1M) paid for it.  2.3-2.5x
-        # headroom, multiple-of-2048 list width for the Pallas section
-        # offset; the overflow flag guards anything beyond.
-        list_cap = max(4096, -(-(3 * peak // 8) // 2048) * 2048)
+        # calibration the peak-scaled caps were sized for: scripts/
+        # demand.py measures approx <= 10,467 and direct cells <= 5,598
+        # per group across 512K/1M x uniform/blobs — the old 5/4*peak
+        # (40,960) and 3/4*peak (24,576) caps were many-x oversized and
+        # the final compaction sorts + the [G, 8, list_cap] approx
+        # table (671 MB/step of HBM at 1M) paid for it.  7/16*peak
+        # (14,336 at 1M) / peak//4 keep >= 1.37x / 1.46x headroom,
+        # multiple-of-2048 list width for the Pallas section offset;
+        # the overflow flag guards anything beyond.
+        list_cap = max(4096, -(-(7 * peak // 16) // 2048) * 2048)
         direct_cap = max(2048, peak // 4)
     else:
         # 5/4*peak covers the collapsed-state approx hump (1.2x peak
@@ -131,15 +133,22 @@ def frontier_schedule_3d(
     * N < 512K (dcm=32): the 2D-style lstar hump model — demand peaks
       where bodies/cell ~ 16 and has a max-depth tail for collapsed
       states.
-    * N >= 512K (dcm=128): the walk terminates at the level where
-      bodies/cell ~ dcm — l_t = ceil(log8(N/dcm)) — on uniform states
-      (measured at 1M: frontier 1,298 @l4, 5,976 @l5=l_t, ZERO @l6/l7);
-      collapsed states carry a small deep tail (1,287 @l6 / 4,736 @l7
-      two-blob measured).  The caps ramp to 3/8*peak at l_t and keep
-      peak//8 elsewhere, peak//2 at max_depth (2-3.5x measured
-      headroom), replacing the round-2 flat peak//2 schedule that was
-      4-10x oversized — the compaction sorts (width 8 x cap) and the
-      per-level gathers are the collect phase's cost."""
+    * N >= 512K (dcm=128): the walk terminates where bodies/cell ~ dcm
+      — l_t = ceil(log8(N/dcm)).  scripts/demand.py calibration
+      (uniform + two-blob collapsed, fmul=2):
+
+        1M uniform  [8, 64, 512, 1650, 8048, 0, 0, (md)]
+        1M blobs    [8, 39, 108, 215, 965, 3672, 9608, (md)]
+        512K uniform [8, 64, 512, 1650, 9160, 0, 0]
+        512K blobs   [8, 31, 67, 267, 1139, 4216, 9960]
+
+      The uniform spike enters l_t (and straddles l_t+1 when N/dcm is
+      an exact power of 8 — 512K's l5 9,160 overflowed the round-3
+      single-level ramp); collapsed states move the spike toward
+      max_depth but SMALLER (dense matter occupies few cells).  Caps:
+      3/8*peak at l_t and l_t+1 (1.3-1.5x measured), peak//4 on deeper
+      non-terminal levels (1.9x+), peak//2 at max_depth (1.6x), peak//8
+      above the zone (2.5x)."""
     import math
 
     hump = direct_cell_max_default(n_bodies) < 128
@@ -162,7 +171,12 @@ def frontier_schedule_3d(
         elif level == max_depth:
             c = peak if hump else peak // 2
         elif not hump:
-            c = 3 * peak // 8 if level == l_t else peak // 8
+            if level in (l_t, l_t + 1):
+                c = 3 * peak // 8
+            elif level > l_t + 1:
+                c = peak // 4  # collapsed-state deep tail
+            else:
+                c = peak // 8
         elif level >= lo_star:
             c = peak
         else:
@@ -183,6 +197,7 @@ def _collect_lists_3d(
     direct_cell_max: int,
     window_cells=None,
     return_demand: bool = False,
+    quarter_bits: bool = False,
 ):
     """Per-group interaction lists via the dual cell-vs-bbox octree walk.
 
@@ -221,6 +236,8 @@ def _collect_lists_3d(
 
     app_x, app_y, app_z, app_m, app_mask = [], [], [], [], []
     dir_s, dir_c, dir_mask = [], [], []
+    # quarter_bits payloads for split evaluation (see the 2D mirror)
+    dir_b, dir_x, dir_y, dir_z, dir_m = [], [], [], [], []
 
     for level in range(max_depth + 1):
         valid = frontier >= 0
@@ -245,9 +262,9 @@ def _collect_lists_3d(
         dz = jnp.maximum(
             jnp.maximum(z0[:, :, None] - cze, cze - z1[:, :, None]), 0.0
         )
-        d_min = jnp.min(
-            jnp.sqrt(dx * dx + dy * dy + dz * dz), axis=1
-        ) + jnp.asarray(softening, f32)  # [G, F]
+        dall = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # [G, Q, F]
+        soft = jnp.asarray(softening, f32)
+        d_min = jnp.min(dall, axis=1) + soft  # [G, F]
         size = level_cell_size_3d(tree.bounds, level).astype(f32)
         theta_ok = size < theta * d_min
 
@@ -279,6 +296,28 @@ def _collect_lists_3d(
         dir_s.append(idx << shift)
         dir_c.append(jnp.where(direct, cnt.astype(jnp.int32), 0))
         dir_mask.append(direct)
+        if quarter_bits:
+            # per-quarter theta verdicts (quarter q = Morton sub-bboxes
+            # [qQ/4, (q+1)Q/4)); direct implies >= 1 bit set
+            qn = dall.shape[1] // 4
+            dq = (
+                jnp.min(dall.reshape(g, 4, qn, -1), axis=2) + soft
+            )  # [G, 4, F]
+            fail_q = size >= theta * dq
+            bits = jnp.sum(
+                jnp.where(
+                    fail_q,
+                    jnp.asarray([1, 2, 4, 8], jnp.int32)[None, :, None],
+                    0,
+                ),
+                axis=1,
+                dtype=jnp.int32,
+            )
+            dir_b.append(jnp.where(direct, bits, 0))
+            dir_x.append(cx)
+            dir_y.append(cy)
+            dir_z.append(cz)
+            dir_m.append(jnp.where(direct, m, 0.0))
 
         if level == max_depth:
             break
@@ -314,18 +353,29 @@ def _collect_lists_3d(
         ],
         list_cap,
     )
-    (dleaf, dc), ovf_d = _sort_compact(
-        jnp.concatenate(dir_mask, axis=1),
-        [
-            jnp.concatenate(dir_s, axis=1),
-            jnp.concatenate(dir_c, axis=1),
-        ],
-        direct_cap,
+    dir_payload = [
+        jnp.concatenate(dir_s, axis=1),
+        jnp.concatenate(dir_c, axis=1),
+    ]
+    if quarter_bits:
+        dir_payload += [
+            jnp.concatenate(a, axis=1)
+            for a in (dir_b, dir_x, dir_y, dir_z, dir_m)
+        ]
+    compacted, ovf_d = _sort_compact(
+        jnp.concatenate(dir_mask, axis=1), dir_payload, direct_cap
     )
+    dleaf, dc = compacted[0], compacted[1]
     ds = jnp.where(dc > 0, leaf_cum[jnp.where(dc > 0, dleaf, 0)], 0)
     overflow = overflow | ovf_a | ovf_d
 
     ranges = jnp.stack([ds, dc], axis=-1)  # [G, D, 2]
+    quarters = (
+        dict(bits=compacted[2], com=tuple(compacted[3:6]),
+             mass=compacted[6])
+        if quarter_bits
+        else None
+    )
     if return_demand:
         stats = dict(
             frontier=jnp.stack(demand),
@@ -337,6 +387,8 @@ def _collect_lists_3d(
             ),
         )
         return (lx, ly, lz, lm), ranges, overflow, stats
+    if quarter_bits:
+        return (lx, ly, lz, lm), ranges, overflow, quarters
     return (lx, ly, lz, lm), ranges, overflow
 
 
@@ -601,6 +653,7 @@ def _evaluate_3d(
         "eval_k_tile",
         "eval_mode",
         "run_cap",
+        "split_eval",
     ),
 )
 def bh3_accelerations_grouped(
@@ -626,6 +679,7 @@ def bh3_accelerations_grouped(
     eval_k_tile: int | None = None,
     eval_mode: str | None = None,
     run_cap: int | None = None,
+    split_eval: bool | None = None,
 ):
     """Grouped 3D Barnes-Hut accelerations [N, 3] (+ overflow [N]).
 
@@ -672,6 +726,7 @@ def bh3_accelerations_grouped(
         eval_k_tile=eval_k_tile,
         eval_mode=eval_mode,
         run_cap=run_cap,
+        split_eval=split_eval,
     )
 
 
@@ -700,6 +755,7 @@ def grouped_eval_3d(
     eval_k_tile: int | None = None,
     eval_mode: str | None = None,
     run_cap: int | None = None,
+    split_eval: bool | None = None,
     window_cells=None,
     range_offset=None,
     n_sources_hint: int | None = None,
@@ -754,7 +810,32 @@ def grouped_eval_3d(
         jnp.min(sub[..., 2], axis=2),
         jnp.max(sub[..., 2], axis=2),
     )
-    lists, ranges, overflow_g = _collect_lists_3d(
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if split_eval is None:
+        # quarter-split (see ops/bh_grouped.grouped_eval): runs mode,
+        # quarterable groups, sub-bboxes tiling the quarters
+        split_eval = (
+            use_pallas
+            and eval_mode in (None, "runs")
+            and not compensated
+            and eval_dynamic
+            and gs % 4 == 0
+            and gs >= 512
+            and n_sub % 4 == 0
+            # the union-factor cut only pays off against the huge
+            # dcm>=128 near fields (same-session A/B, PERF.md): 3D 1M
+            # 1,449 -> 960 ms/step, but 3D 256K 251 -> 348 and 2D 64K
+            # 4.7 -> 6.4 — the always-streamed extension section and
+            # the 4x grid overhead beat the saving at dcm=32 scales
+            and direct_cell_max >= 128
+        )
+    elif split_eval and (gs % 4 or n_sub % 4):
+        raise ValueError(
+            "split_eval=True requires group_size and n_sub divisible "
+            f"by 4 (got {gs}, {n_sub})"
+        )
+    collected = _collect_lists_3d(
         bbox,
         tree,
         theta=theta,
@@ -764,7 +845,10 @@ def grouped_eval_3d(
         direct_cap=direct_cap,
         direct_cell_max=direct_cell_max,
         window_cells=window_cells,
+        quarter_bits=split_eval,
     )
+    lists, ranges, overflow_g = collected[0:3]
+    quarters = collected[3] if split_eval else None
     if range_offset is not None:
         ranges = ranges.at[:, :, 0].set(
             jnp.where(
@@ -778,8 +862,6 @@ def grouped_eval_3d(
     # run-cap overflow on 2 groups — the near-field cells that fail to
     # merge are numerous enough that run enumeration costs more than the
     # boundary-superblock slack it removes.  See PERF.md.
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     if eval_mode is None:
         # runs is the measured default winner on TPU at every 3D scale
         # (PERF.md round-3 table: 64K 17.1 vs 21.0, 256K 220 vs 263,
@@ -788,6 +870,9 @@ def grouped_eval_3d(
             eval_mode = "grid"
         else:
             eval_mode = "runs" if use_pallas else "dynamic"
+    if split_eval and eval_mode != "runs":
+        split_eval = False
+        quarters = None
     if compensated:
         eval_mode = "grid"
     if eval_k_tile is None:
@@ -806,19 +891,35 @@ def grouped_eval_3d(
         # exists to bound are never materialised at all.
         lx, ly, lz, lm = lists
         rc = run_cap or 512
-        acc_r, ovf_e = _evaluate_pallas_runs(
-            pg,
-            (lx, ly, lz),
-            lm,
-            ranges,
-            sorted_srcs[0:3],
-            sorted_srcs[3],  # already g*m (bh3_accelerations_grouped)
-            g_const=g,  # scales the approx lists' raw masses
-            softening=softening,
-            k_tile=eval_k_tile,
-            run_cap=rc,
-            t_cap=direct_body_cap // eval_k_tile + 2 * rc,
-        )
+        if split_eval:
+            acc_r, ovf_e = _evaluate_pallas_runs_split(
+                pg,
+                (lx, ly, lz),
+                lm,
+                ranges,
+                quarters,
+                sorted_srcs[0:3],
+                sorted_srcs[3],  # already g*m
+                g_const=g,  # scales the approx/extension raw masses
+                softening=softening,
+                k_tile=eval_k_tile,
+                run_cap=rc,
+                t_cap=direct_body_cap // eval_k_tile + 2 * rc,
+            )
+        else:
+            acc_r, ovf_e = _evaluate_pallas_runs(
+                pg,
+                (lx, ly, lz),
+                lm,
+                ranges,
+                sorted_srcs[0:3],
+                sorted_srcs[3],  # already g*m (bh3_accelerations_grouped)
+                g_const=g,  # scales the approx lists' raw masses
+                softening=softening,
+                k_tile=eval_k_tile,
+                run_cap=rc,
+                t_cap=direct_body_cap // eval_k_tile + 2 * rc,
+            )
         overflow_g = overflow_g | ovf_e
         ax, ay, az = acc_r[:, :, 0], acc_r[:, :, 1], acc_r[:, :, 2]
     elif use_pallas:

@@ -177,6 +177,7 @@ def _collect_lists(
     direct_cell_max: int,
     window_cells=None,
     return_demand: bool = False,
+    quarter_bits: bool = False,
 ):
     """Per-group interaction lists via a dual (cell-vs-group-bbox) walk.
 
@@ -244,6 +245,9 @@ def _collect_lists(
     # end (one sort instead of per-level scatters)
     app_x, app_y, app_m, app_mask = [], [], [], []
     dir_s, dir_c, dir_mask = [], [], []
+    # quarter_bits payloads: per-quarter theta-fail bitmask + the cell
+    # COM, carried through the direct compaction for split evaluation
+    dir_b, dir_x, dir_y, dir_m = [], [], [], []
 
     for level in range(max_depth + 1):
         valid = frontier >= 0
@@ -272,9 +276,9 @@ def _collect_lists(
         dy = jnp.maximum(
             jnp.maximum(y0[:, :, None] - cye, cye - y1[:, :, None]), 0.0
         )
-        d_min = jnp.min(jnp.sqrt(dx * dx + dy * dy), axis=1) + jnp.asarray(
-            softening, f32
-        )  # [G, F]
+        dall = jnp.sqrt(dx * dx + dy * dy)  # [G, Q, F]
+        soft = jnp.asarray(softening, f32)
+        d_min = jnp.min(dall, axis=1) + soft  # [G, F]
         size = level_cell_size(tree.bounds, level).astype(f32)
         theta_ok = size < theta * d_min
 
@@ -310,6 +314,31 @@ def _collect_lists(
         dir_s.append(idx << shift)
         dir_c.append(jnp.where(direct, cnt.astype(jnp.int32), 0))
         dir_mask.append(direct)
+        if quarter_bits:
+            # per-quarter theta verdicts (quarter q = Morton sub-bboxes
+            # 4q..4q+3): bit set where the cell is too close for that
+            # quarter's own bodies; direct implies >= 1 bit set (the
+            # binding sub-bbox lives in some quarter)
+            qn = dall.shape[1] // 4
+            dq = (
+                jnp.min(dall.reshape(g, 4, qn, -1), axis=2) + soft
+            )  # [G, 4, F]
+            fail_q = size >= theta * dq
+            bits = jnp.sum(
+                jnp.where(
+                    fail_q,
+                    jnp.asarray(
+                        [1, 2, 4, 8], jnp.int32
+                    )[None, :, None],
+                    0,
+                ),
+                axis=1,
+                dtype=jnp.int32,
+            )
+            dir_b.append(jnp.where(direct, bits, 0))
+            dir_x.append(cx)
+            dir_y.append(cy)
+            dir_m.append(jnp.where(direct, m, 0.0))
 
         if level == max_depth:
             break
@@ -346,19 +375,32 @@ def _collect_lists(
         ],
         list_cap,
     )
-    (dleaf, dc), ovf_d = _sort_compact(
-        jnp.concatenate(dir_mask, axis=1),
-        [
-            jnp.concatenate(dir_s, axis=1),
-            jnp.concatenate(dir_c, axis=1),
-        ],
-        direct_cap,
+    dir_payload = [
+        jnp.concatenate(dir_s, axis=1),
+        jnp.concatenate(dir_c, axis=1),
+    ]
+    if quarter_bits:
+        dir_payload += [
+            jnp.concatenate(dir_b, axis=1),
+            jnp.concatenate(dir_x, axis=1),
+            jnp.concatenate(dir_y, axis=1),
+            jnp.concatenate(dir_m, axis=1),
+        ]
+    compacted, ovf_d = _sort_compact(
+        jnp.concatenate(dir_mask, axis=1), dir_payload, direct_cap
     )
+    dleaf, dc = compacted[0], compacted[1]
     # one gather on the compacted list resolves leaf cell -> body range
     ds = jnp.where(dc > 0, leaf_cum[jnp.where(dc > 0, dleaf, 0)], 0)
     overflow = overflow | ovf_a | ovf_d
 
     ranges = jnp.stack([ds, dc], axis=-1)  # [G, D, 2]
+    quarters = (
+        dict(bits=compacted[2], com=tuple(compacted[3:5]),
+             mass=compacted[5])
+        if quarter_bits
+        else None
+    )
     if return_demand:
         stats = dict(
             frontier=jnp.stack(demand),
@@ -370,6 +412,8 @@ def _collect_lists(
             ),
         )
         return (lx, ly, lm), ranges, overflow, stats
+    if quarter_bits:
+        return (lx, ly, lm), ranges, overflow, quarters
     return (lx, ly, lm), ranges, overflow
 
 
@@ -623,6 +667,129 @@ def _evaluate_pallas_runs(
     return acc, ovf_m | ovf_t
 
 
+def _evaluate_pallas_runs_split(
+    positions_grouped,  # [G, S, D]
+    coord_lists,  # tuple of D approx coordinate arrays [G, L]
+    lm,  # [G, L] approx masses (zero-padded)
+    ranges,  # [G, D_cells, 2] direct body ranges (start, count)
+    quarters,  # dict from _collect_lists(quarter_bits=True):
+    #            bits [G, D_cells] per-quarter theta-fail mask,
+    #            com (D arrays [G, D_cells]), mass [G, D_cells]
+    sorted_coords,  # tuple of D arrays [Ns]
+    sorted_gm,  # [Ns]
+    *,
+    g_const: float,
+    softening: float,
+    k_tile: int,
+    run_cap: int,
+    t_cap: int,
+):
+    """Quarter-split gather-free evaluation (see list_eval_runs_split).
+
+    Per quarter q of each group: direct ranges are the group's direct
+    cells whose per-quarter theta bit q is set (counts zeroed otherwise
+    — merge_ranges skips empty entries); the remaining group-direct
+    cells enter the extension table as COMs with a per-quarter use mask
+    packed into the 8-row layout's spare rows.  Returns
+    (acc [G, S, D], overflow)."""
+    from .experiments import merge_ranges
+    from .list_eval import list_eval_runs_split
+
+    f32 = positions_grouped.dtype
+    dims = positions_grouped.shape[-1]
+    apad = (-coord_lists[0].shape[1]) % k_tile
+    cl = [
+        jnp.pad(a, ((0, 0), (0, apad))) if apad else a
+        for a in coord_lists
+    ]
+    lmp = jnp.pad(lm, ((0, 0), (0, apad))) if apad else lm
+    gg = cl[0].shape[0]
+    a_width = cl[0].shape[1]
+    zero = jnp.zeros((gg, 1, a_width), f32)
+    approx = jnp.concatenate(
+        [c[:, None, :] for c in cl]
+        + [(jnp.asarray(g_const, f32) * lmp)[:, None, :]]
+        + [zero] * (8 - dims - 1),
+        axis=1,
+    )  # [G, 8, A]
+
+    # extension table [G, 8, E]: rows [coords..., gm, use_q0..use_q3]
+    # where use_qk = 1 iff quarter k's theta passes for the cell (it
+    # contributes as a COM there; elsewhere it is in the quarter's
+    # direct ranges).  Cells needed direct by EVERY quarter get an
+    # all-zero mask row and are skipped by the gm > 0 guard via gm*mask.
+    bits = quarters["bits"]  # [G, E]
+    dc = ranges[:, :, 1]
+    epad = (-bits.shape[1]) % k_tile
+    def padq(a, v=0):
+        return (
+            jnp.pad(a, ((0, 0), (0, epad)), constant_values=v)
+            if epad
+            else a
+        )
+    use = [
+        padq(
+            jnp.where((dc > 0) & ((bits >> q) & 1 == 0), 1.0, 0.0)
+        ).astype(f32)
+        for q in range(4)
+    ]
+    ext_rows = (
+        [padq(c)[:, None, :] for c in quarters["com"]]
+        + [
+            (jnp.asarray(g_const, f32) * padq(quarters["mass"]))[
+                :, None, :
+            ]
+        ]
+        + [u[:, None, :] for u in use]
+        + [jnp.zeros((gg, 1, bits.shape[1] + epad), f32)]
+        * (8 - dims - 5)
+    )
+    ext = jnp.concatenate(ext_rows, axis=1)  # [G, 8, E]
+
+    # per-quarter direct ranges: zero the count where the quarter's
+    # theta passes (the cell went to its extension section instead)
+    rq = jnp.broadcast_to(
+        ranges[:, None, :, :], (gg, 4, ranges.shape[1], 2)
+    )
+    qsel = (
+        (bits[:, None, :] >> jnp.arange(4, dtype=jnp.int32)[None, :, None])
+        & 1
+    ) > 0  # [G, 4, E]
+    rq = jnp.concatenate(
+        [
+            rq[..., 0:1],
+            jnp.where(qsel, rq[..., 1], 0)[..., None],
+        ],
+        axis=-1,
+    ).reshape(4 * gg, ranges.shape[1], 2)
+
+    merged, ovf_m = merge_ranges(rq, cap=run_cap)
+    tiles, n_tiles, ovf_t = _expand_runs_tiles(merged, k_tile, t_cap)
+
+    ns = sorted_coords[0].shape[0]
+    npad = ns + k_tile
+    srct = jnp.zeros((8, npad), f32)
+    for d_, c in enumerate(sorted_coords):
+        srct = srct.at[d_, :ns].set(c)
+    srct = srct.at[dims, :ns].set(sorted_gm)
+
+    alen = jnp.sum(lmp > 0, axis=1).astype(jnp.int32)  # [G]
+    lens = jnp.stack(
+        [jnp.repeat(alen, 4), n_tiles], axis=0
+    )  # [2, 4G]
+    acc = list_eval_runs_split(
+        positions_grouped.astype(jnp.float32),
+        approx,
+        ext,
+        srct,
+        tiles,
+        lens,
+        softening=float(softening),
+        k_tile=k_tile,
+    )
+    return acc, jnp.reshape(ovf_m | ovf_t, (gg, 4)).any(axis=1)
+
+
 def _expand_ranges_superblocks(
     ranges: jax.Array,  # [G, D, 2] (start, count)
     direct_cell_max: int,
@@ -804,6 +971,7 @@ def _evaluate(
         "eval_k_tile",
         "eval_mode",
         "run_cap",
+        "split_eval",
     ),
 )
 def bh_accelerations_grouped(
@@ -829,6 +997,7 @@ def bh_accelerations_grouped(
     eval_k_tile: int | None = None,
     eval_mode: str | None = None,
     run_cap: int | None = None,
+    split_eval: bool | None = None,
 ):
     """Grouped Barnes-Hut accelerations [N, 2] (+ overflow [N] optional).
 
@@ -872,6 +1041,7 @@ def bh_accelerations_grouped(
         eval_k_tile=eval_k_tile,
         eval_mode=eval_mode,
         run_cap=run_cap,
+        split_eval=split_eval,
     )
 
 
@@ -903,15 +1073,24 @@ def grouped_eval(
     eval_k_tile: int | None = None,
     eval_mode: str | None = None,
     run_cap: int | None = None,
+    split_eval: bool | None = None,
     window_cells=None,
     range_offset=None,
     n_sources_hint: int | None = None,
 ):
     """Grouped evaluation of arbitrary targets against a prebuilt tree.
 
-    ``eval_mode``: None resolves to "dynamic" (or "grid" when
+    ``eval_mode``: None resolves to "runs" on TPU (or "grid" when
     ``eval_dynamic=False`` / ``compensated``); "runs" selects the
     gather-free runs evaluator (_evaluate_pallas_runs).
+
+    ``split_eval``: None auto-enables quarter-split evaluation on the
+    runs path (groups of >= 512 bodies whose sub-bbox count tiles the
+    quarters) — each Morton quarter of a group evaluates only the direct
+    cells its own sub-bboxes fail theta against; cells another quarter
+    needs contribute as COMs through an extension section
+    (_evaluate_pallas_runs_split).  Cuts the union factor of the group
+    near field.  False forces the whole-group evaluator.
 
     ``sorted_*`` must be ALL source bodies in global Morton order (direct
     ranges index into them; the tree's leaf counts define the ranges).
@@ -980,7 +1159,33 @@ def grouped_eval(
         jnp.min(sub[..., 1], axis=2),
         jnp.max(sub[..., 1], axis=2),
     )
-    (lx, ly, lm), ranges, overflow_g = _collect_lists(
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if split_eval is None:
+        # quarter-split needs runs mode, quarterable groups, and sub-
+        # bboxes that tile the quarters; its union-factor win needs
+        # groups big enough that quarters are still spatially coherent
+        split_eval = (
+            use_pallas
+            and eval_mode in (None, "runs")
+            and not compensated
+            and eval_dynamic
+            and gs % 4 == 0
+            and gs >= 512
+            and n_sub % 4 == 0
+            # the union-factor cut only pays off against the huge
+            # dcm>=128 near fields (same-session A/B, PERF.md): 3D 1M
+            # 1,449 -> 960 ms/step, but 3D 256K 251 -> 348 and 2D 64K
+            # 4.7 -> 6.4 — the always-streamed extension section and
+            # the 4x grid overhead beat the saving at dcm=32 scales
+            and direct_cell_max >= 128
+        )
+    elif split_eval and (gs % 4 or n_sub % 4):
+        raise ValueError(
+            "split_eval=True requires group_size and n_sub divisible "
+            f"by 4 (got {gs}, {n_sub})"
+        )
+    collected = _collect_lists(
         bbox,
         tree,
         theta=theta,
@@ -994,7 +1199,10 @@ def grouped_eval(
         direct_cap=direct_cap,
         direct_cell_max=direct_cell_max,
         window_cells=window_cells,
+        quarter_bits=split_eval,
     )
+    (lx, ly, lm), ranges, overflow_g = collected[0:3]
+    quarters = collected[3] if split_eval else None
     if range_offset is not None:
         # window-local body indices (the sorted_* arrays start at global
         # slot ``range_offset``); in-window ranges stay non-negative
@@ -1003,8 +1211,6 @@ def grouped_eval(
                 ranges[:, :, 1] > 0, ranges[:, :, 0] - range_offset, 0
             )
         )
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     if eval_mode is None:
         # runs (gather-free) is the measured default winner on TPU at
         # every 2D scale (PERF.md round-3 table); the legacy
@@ -1013,6 +1219,9 @@ def grouped_eval(
             eval_mode = "grid"
         else:
             eval_mode = "runs" if use_pallas else "dynamic"
+    if split_eval and eval_mode != "runs":
+        split_eval = False
+        quarters = None
     if compensated:
         eval_mode = "grid"  # the Kahan path lives in the grid kernel
     if eval_k_tile is None:
@@ -1030,19 +1239,35 @@ def grouped_eval(
         # transposed sorted table (no superblock gather, no padded
         # per-group source materialisation) — see list_eval_runs.
         rc = run_cap or 256
-        acc_r, ovf_e = _evaluate_pallas_runs(
-            pg,
-            (lx, ly),
-            lm,
-            ranges,
-            (sorted_x, sorted_y),
-            sorted_gm,
-            g_const=g,
-            softening=softening,
-            k_tile=eval_k_tile,
-            run_cap=rc,
-            t_cap=direct_body_cap // eval_k_tile + 2 * rc,
-        )
+        if split_eval:
+            acc_r, ovf_e = _evaluate_pallas_runs_split(
+                pg,
+                (lx, ly),
+                lm,
+                ranges,
+                quarters,
+                (sorted_x, sorted_y),
+                sorted_gm,
+                g_const=g,
+                softening=softening,
+                k_tile=eval_k_tile,
+                run_cap=rc,
+                t_cap=direct_body_cap // eval_k_tile + 2 * rc,
+            )
+        else:
+            acc_r, ovf_e = _evaluate_pallas_runs(
+                pg,
+                (lx, ly),
+                lm,
+                ranges,
+                (sorted_x, sorted_y),
+                sorted_gm,
+                g_const=g,
+                softening=softening,
+                k_tile=eval_k_tile,
+                run_cap=rc,
+                t_cap=direct_body_cap // eval_k_tile + 2 * rc,
+            )
         overflow_g = overflow_g | ovf_e
         ax, ay = acc_r[:, :, 0], acc_r[:, :, 1]
     elif use_pallas:

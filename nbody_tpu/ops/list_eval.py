@@ -585,6 +585,263 @@ def list_eval_runs(
     return out[:, :, 0:dims]
 
 
+def _runs_split_kernel(
+    lens_ref,  # SMEM [2, 4G]: row 0 = approx lanes (per group, repeated
+    #            4x), row 1 = direct tiles per QUARTER
+    tgt_ref,  # (1, S/4, 8) VMEM quarter body block
+    approx_hbm,  # [G, 8, A] per-group approx lists (ANY/HBM)
+    ext_hbm,  # [G, 8, E] extension table: rows [coords..., gm,
+    #           mask_q0..mask_q3(, pad)] — cells direct for SOME quarter;
+    #           mask_qk = 1 where quarter k may use the cell's COM
+    srct_hbm,  # [8, Npad] ALL sorted sources, transposed (ANY/HBM)
+    tiles_hbm,  # [4G, 4, T] int32 per-QUARTER direct tile table
+    out_ref,  # (1, S/4, 8) VMEM
+    acc_ref,  # VMEM scratch (S/4, 8)
+    buf_ref,  # VMEM scratch (2, 8, K_TILE) double buffer
+    tbl_ref,  # SMEM scratch (4, T) int32
+    sem_ref,  # DMA semaphores (2,)
+    tsem_ref,  # DMA semaphore for the table copy
+    *,
+    softening,
+    k_tile,
+    s_tile,
+    n_s_tiles,
+    e_tiles,  # extension tiles per quarter (static: ceil(E / k_tile))
+    dims,
+):
+    """Quarter-split variant of :func:`_runs_kernel`: grid step = one
+    QUARTER of a group.  Three source sections: the group's shared
+    approx list; the group's extension table (cells direct for some
+    other quarter whose COM serves this one — the per-quarter mask rides
+    in the table's spare rows, so gm is fetched pre-masked by one DMA);
+    this quarter's own direct Morton-run tiles."""
+    i = pl.program_id(0)
+    gi = i // 4
+    qi = jax.lax.rem(i, 4)
+    kt = jnp.int32(k_tile)
+    a_t = (lens_ref[0, i] + kt - 1) // kt
+    e_t = jnp.int32(e_tiles)
+    d_t = lens_ref[1, i]
+    n_t = a_t + e_t + d_t
+
+    tdma = pltpu.make_async_copy(tiles_hbm.at[i], tbl_ref, tsem_ref)
+    tdma.start()
+    tdma.wait()
+
+    def start_or_wait(slot, t, start):
+        @pl.when(t < a_t)
+        def _approx():
+            c = pltpu.make_async_copy(
+                approx_hbm.at[gi, :, pl.ds(t * kt, k_tile)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+            c.start() if start else c.wait()
+
+        @pl.when((t >= a_t) & (t < a_t + e_t))
+        def _ext():
+            c = pltpu.make_async_copy(
+                ext_hbm.at[gi, :, pl.ds((t - a_t) * kt, k_tile)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+            c.start() if start else c.wait()
+
+        @pl.when(t >= a_t + e_t)
+        def _direct():
+            s = pl.multiple_of(tbl_ref[0, t - a_t - e_t], 128)
+            c = pltpu.make_async_copy(
+                srct_hbm.at[:, pl.ds(s, k_tile)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+            c.start() if start else c.wait()
+
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    @pl.when(n_t > 0)
+    def _warmup():
+        start_or_wait(0, 0, True)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_tile), 1)
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < n_t)
+        def _prefetch():
+            start_or_wait(jax.lax.rem(t + 1, 2), t + 1, True)
+
+        start_or_wait(slot, t, False)
+        src = buf_ref[slot]  # (8, K_TILE)
+        is_ext = (t >= a_t) & (t < a_t + e_t)
+        is_dir = t >= a_t + e_t
+        ti = jnp.maximum(t - a_t - e_t, 0)
+        lo = jnp.where(is_dir, tbl_ref[1, ti], 0)
+        hi = jnp.where(is_dir, tbl_ref[2, ti], kt)
+        gm = src[dims : dims + 1, :]
+        # extension tiles: the per-quarter COM mask rides in the table's
+        # spare rows (dims+1 .. dims+4) — select this quarter's row by a
+        # static masked sum (dynamic sublane indexing is a Mosaic risk)
+        qmask = sum(
+            jnp.where(qi == q, 1.0, 0.0)
+            * src[dims + 1 + q : dims + 2 + q, :]
+            for q in range(4)
+        )
+        gm = jnp.where(is_ext, gm * qmask, gm)
+        gm = jnp.where((lane >= lo) & (lane < hi), gm, 0.0)
+        for si in range(n_s_tiles):
+            tgt = tgt_ref[0, si * s_tile : (si + 1) * s_tile, :]
+            d2 = None
+            disp = []
+            for ax in range(dims):
+                da = src[ax : ax + 1, :] - tgt[:, ax : ax + 1]
+                disp.append(da)
+                d2 = da * da if d2 is None else d2 + da * da
+            valid = (d2 > 0.0) & (gm > 0.0)
+            inv_d = jax.lax.rsqrt(d2)
+            d = d2 * inv_d
+            w = jnp.where(
+                valid, gm / (d2 * (d + jnp.float32(softening))), 0.0
+            )
+            for col, da in enumerate(disp):
+                v = jnp.sum(w * da, axis=1, keepdims=True)
+                acc_ref[
+                    si * s_tile : (si + 1) * s_tile, col : col + 1
+                ] = acc_ref[
+                    si * s_tile : (si + 1) * s_tile, col : col + 1
+                ] + v
+        return 0
+
+    jax.lax.fori_loop(0, n_t, body, 0)
+    out_ref[0, :, :] = acc_ref[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "k_tile", "s_tile", "interpret"),
+)
+def list_eval_runs_split(
+    targets: jax.Array,  # [G, S, D] group body positions
+    approx: jax.Array,  # [G, 8, A] group approx lists (zero-padded)
+    ext: jax.Array,  # [G, 8, E] extension table: rows [coords..., gm,
+    #                  mask_q0..3(, pad)]; gm == 0 marks padding
+    sources_t: jax.Array,  # [8, Npad] sorted sources transposed
+    tiles: jax.Array,  # [4G, 3, T] int32 per-QUARTER direct tile table
+    lens: jax.Array,  # [2, 4G] int32: [approx lanes, direct tile count]
+    *,
+    softening: float,
+    k_tile: int = 512,
+    s_tile: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Quarter-split gather-free list evaluation (see _runs_split_kernel).
+
+    Each group's 2048-body near field is the UNION of what its four
+    Morton quarters need; splitting the direct set per quarter cuts the
+    evaluated pair volume to what each quarter's own sub-bboxes fail
+    theta against — the cells another quarter needs direct but this one
+    does not contribute through the extension section as plain COMs
+    (exactly what the traversal emits when theta passes).  Returns
+    [G, S, D] accelerations."""
+    if jax.config.jax_enable_x64 and not interpret:
+        raise ValueError(
+            "list_eval_runs_split requires jax_enable_x64=False (TPU "
+            "Mosaic has no int64/f64 lowering)"
+        )
+    g, s, dims = targets.shape
+    if s % 4:
+        raise ValueError("quarter-split evaluation needs S % 4 == 0")
+    sq = s // 4
+    if sq % s_tile:
+        s_tile = sq if sq < s_tile else math.gcd(sq, s_tile)
+    k_max = runs_k_max(s_tile)
+    if k_tile > k_max:
+        raise ValueError(
+            f"k_tile={k_tile} exceeds the VMEM budget ({k_max} at "
+            f"s_tile={s_tile}); rebuild the tile table with a smaller "
+            "eval_k_tile"
+        )
+    a = approx.shape[2]
+    if a % k_tile:
+        approx = jnp.pad(
+            approx, ((0, 0), (0, 0), (0, k_tile - a % k_tile))
+        )
+    e = ext.shape[2]
+    if e % k_tile:
+        ext = jnp.pad(ext, ((0, 0), (0, 0), (0, k_tile - e % k_tile)))
+    e_tiles = ext.shape[2] // k_tile
+    n_s_tiles = sq // s_tile
+    if tiles.shape[2] % 128:
+        tiles = jnp.pad(
+            tiles, ((0, 0), (0, 0), (0, 128 - tiles.shape[2] % 128))
+        )
+    tiles = jnp.pad(tiles, ((0, 0), (0, 4 - tiles.shape[1]), (0, 0)))
+    t_cap = tiles.shape[2]
+
+    tgt = jnp.zeros((g, s, 8), jnp.float32).at[:, :, 0:dims].set(targets)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(4 * g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, sq, 8), lambda i, *_: (i // 4, i % 4, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, sq, 8), lambda i, *_: (i // 4, i % 4, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((sq, 8), jnp.float32),
+            pltpu.VMEM((2, 8, k_tile), jnp.float32),
+            pltpu.SMEM((4, t_cap), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _runs_split_kernel,
+            softening=float(softening),
+            k_tile=k_tile,
+            s_tile=s_tile,
+            n_s_tiles=n_s_tiles,
+            e_tiles=e_tiles,
+            dims=dims,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, s, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * g * s
+            * (approx.shape[2] + ext.shape[2] + t_cap * k_tile) // 4,
+            bytes_accessed=(
+                g * s * 16 + g * 8 * (approx.shape[2] + ext.shape[2])
+            ) * 4,
+            transcendentals=g * s * 1024,
+        ),
+        interpret=interpret,
+    )(
+        lens.astype(jnp.int32),
+        tgt,
+        approx,
+        ext,
+        sources_t,
+        tiles.astype(jnp.int32),
+    )
+    return out[:, :, 0:dims]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -291,6 +291,10 @@ def make_dp_barnes_hut_grouped_step(config: SimConfig, mesh: Mesh) -> Callable:
             direct_cell_max=config.resolved_direct_cell_max,
             direct_body_cap=config.direct_body_cap,
             group_chunk=config.group_chunk,
+            eval_mode=config.eval_mode,
+            eval_k_tile=config.eval_k_tile,
+            run_cap=config.run_cap,
+            split_eval=config.split_eval,
         )
         return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
 
@@ -460,6 +464,10 @@ def make_dp_barnes_hut_sharded_step(config: SimConfig, mesh: Mesh) -> Callable:
             direct_cell_max=config.resolved_direct_cell_max,
             direct_body_cap=config.direct_body_cap,
             group_chunk=config.group_chunk,
+            eval_mode=config.eval_mode,
+            eval_k_tile=config.eval_k_tile,
+            run_cap=config.run_cap,
+            split_eval=config.split_eval,
             target_codes=codes,
             window_cells=(c_lo_eff, c_hi_eff),
             range_offset=base,
@@ -519,6 +527,10 @@ def make_dp_barnes_hut_grouped3_step(
             direct_cell_max=config.resolved_direct_cell_max,
             direct_body_cap=config.direct_body_cap,
             group_chunk=config.group_chunk,
+            eval_mode=config.eval_mode,
+            eval_k_tile=config.eval_k_tile,
+            run_cap=config.run_cap,
+            split_eval=config.split_eval,
         )
         return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
 

@@ -172,7 +172,9 @@ def test_list_eval_pallas_3d_interpret(cloud3):
         le.list_eval_runs = interp_runs
         a_pl = np.asarray(
             bh3_accelerations_grouped(
-                pos, m, g=G, theta=0.5, use_pallas=True
+                pos, m, g=G, theta=0.5, use_pallas=True,
+                split_eval=False,  # tight kernel parity; split has its
+                #                    own test (test_list_eval)
             )
         )
     finally:

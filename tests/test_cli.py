@@ -55,12 +55,26 @@ def test_run_eval_mode_flags(tmp_path, capsys):
             "--eval-mode", "runs",
             "--eval-k-tile", "256",
             "--run-cap", "64",
+            "--split-eval", "off",
             "--output-dir", str(tmp_path),
         ]
     )
     assert rc == 0
     out = capsys.readouterr().out
     assert TOTAL_RE.search(out), out
+
+    from nbody_tpu.config import SimConfig
+
+    # the tri-state flag maps to the config field
+    assert SimConfig(split_eval=None).split_eval is None
+    rc = main(
+        [
+            "run", "--engine", "barnes_hut", "--n-bodies", "512",
+            "--steps", "1", "--group-size", "128",
+            "--split-eval", "on", "--output-dir", str(tmp_path),
+        ]
+    )
+    assert rc == 0
 
 
 def test_run_with_files_and_init_roundtrip(tmp_path, capsys):

@@ -118,7 +118,7 @@ def test_runs_evaluator_matches_xla_whole_path():
             a_runs, ovf = fn(
                 p, m, g=G_, group_size=512, group_chunk=8,
                 use_pallas=True, eval_mode="runs", eval_k_tile=256,
-                return_diagnostics=True,
+                split_eval=False, return_diagnostics=True,
             )
             a_ref = fn(
                 p, m, g=G_, group_size=512, group_chunk=8,
@@ -130,6 +130,51 @@ def test_runs_evaluator_matches_xla_whole_path():
             assert d <= 1e-5 * scale, (dims, d, scale)
     finally:
         le.list_eval_runs = orig
+
+
+def test_split_evaluator_whole_path():
+    """Quarter-split runs evaluation (split_eval=True): per-quarter
+    direct ranges + COM extension section.  Physics stays in the BH
+    theta=0.5 approximation class — each body's own theta requirement
+    still holds (quarter d_min <= its true distance) — so the result
+    matches the group-level evaluator to BH-approximation order, far
+    tighter than the theta error itself (interpret mode, 2D and 3D)."""
+    import nbody_tpu.ops.list_eval as le
+    from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
+    from nbody_tpu.ops.bh_grouped import bh_accelerations_grouped
+
+    orig = le.list_eval_runs_split
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    rng = np.random.default_rng(5)
+    n = 2048
+    G_ = 6.67e-11
+    m = jnp.asarray(10 ** rng.uniform(-1, np.log10(0.5), n), jnp.float32)
+    try:
+        le.list_eval_runs_split = interp
+        for dims, fn in ((2, bh_accelerations_grouped),
+                         (3, bh3_accelerations_grouped)):
+            p = jnp.asarray(rng.uniform(-0.1, 0.1, (n, dims)), jnp.float32)
+            a_split, ovf = fn(
+                p, m, g=G_, group_size=512, group_chunk=8,
+                use_pallas=True, eval_mode="runs", eval_k_tile=256,
+                split_eval=True, return_diagnostics=True,
+            )
+            a_ref = fn(
+                p, m, g=G_, group_size=512, group_chunk=8,
+                use_pallas=False,
+            )
+            assert int(np.asarray(ovf).sum()) == 0
+            scale = float(jnp.max(jnp.abs(a_ref)))
+            d = float(jnp.max(jnp.abs(a_split - a_ref)))
+            # extension COMs replace exact pairwise where the quarter's
+            # theta passes: BH-approximation-order differences only
+            assert d <= 2e-3 * scale, (dims, d, scale)
+    finally:
+        le.list_eval_runs_split = orig
 
 
 def test_expand_runs_tiles():
