@@ -774,9 +774,12 @@ def _evaluate_pallas_runs_split(
     srct = srct.at[dims, :ns].set(sorted_gm)
 
     alen = jnp.sum(lmp > 0, axis=1).astype(jnp.int32)  # [G]
+    # direct cells are left-compacted (_sort_compact keeps order), so
+    # the per-group count is the extension section's occupied prefix
+    elen = jnp.sum(dc > 0, axis=1).astype(jnp.int32)  # [G]
     lens = jnp.stack(
-        [jnp.repeat(alen, 4), n_tiles], axis=0
-    )  # [2, 4G]
+        [jnp.repeat(alen, 4), jnp.repeat(elen, 4), n_tiles], axis=0
+    )  # [3, 4G]
     acc = list_eval_runs_split(
         positions_grouped.astype(jnp.float32),
         approx,

@@ -586,8 +586,10 @@ def list_eval_runs(
 
 
 def _runs_split_kernel(
-    lens_ref,  # SMEM [2, 4G]: row 0 = approx lanes (per group, repeated
-    #            4x), row 1 = direct tiles per QUARTER
+    lens_ref,  # SMEM [3, 4G]: row 0 = approx lanes (per group, repeated
+    #            4x), row 1 = occupied extension lanes (the direct cells
+    #            are left-compacted, so the per-group count IS the
+    #            occupied prefix), row 2 = direct tiles per QUARTER
     tgt_ref,  # (1, S/4, 8) VMEM quarter body block
     approx_hbm,  # [G, 8, A] per-group approx lists (ANY/HBM)
     ext_hbm,  # [G, 8, E] extension table: rows [coords..., gm,
@@ -620,8 +622,10 @@ def _runs_split_kernel(
     qi = jax.lax.rem(i, 4)
     kt = jnp.int32(k_tile)
     a_t = (lens_ref[0, i] + kt - 1) // kt
-    e_t = jnp.int32(e_tiles)
-    d_t = lens_ref[1, i]
+    e_t = jnp.minimum(
+        (lens_ref[1, i] + kt - 1) // kt, jnp.int32(e_tiles)
+    )
+    d_t = lens_ref[2, i]
     n_t = a_t + e_t + d_t
 
     tdma = pltpu.make_async_copy(tiles_hbm.at[i], tbl_ref, tsem_ref)
@@ -728,7 +732,8 @@ def list_eval_runs_split(
     #                  mask_q0..3(, pad)]; gm == 0 marks padding
     sources_t: jax.Array,  # [8, Npad] sorted sources transposed
     tiles: jax.Array,  # [4G, 3, T] int32 per-QUARTER direct tile table
-    lens: jax.Array,  # [2, 4G] int32: [approx lanes, direct tile count]
+    lens: jax.Array,  # [3, 4G] int32: [approx lanes, occupied ext
+    #                    lanes, direct tile count]
     *,
     softening: float,
     k_tile: int = 512,
