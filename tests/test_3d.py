@@ -431,3 +431,36 @@ def test_metrics_csv_3d_tree_stats(tmp_path):
     assert len(rows) == 3
     assert all(int(r["tree_nodes"]) > 8 for r in rows)
     assert all(int(r["tree_max_depth"]) >= 1 for r in rows)
+
+
+def test_frontier_schedule_3d_covers_measured_demand():
+    """The dcm=128 zone schedule must cover the scripts/demand.py
+    calibration measurements (uniform + two-blob collapsed; the round-3
+    single-level ramp overflowed at 512K where N/dcm = 8^4 puts the
+    termination spike astride l_t and l_t+1)."""
+    from nbody_tpu.ops.bh3d import cap_defaults_3d, frontier_schedule_3d
+    from nbody_tpu.ops.tree3d import default_max_depth3
+
+    # demand entering levels 1..max_depth, max over groups (gs=2048,
+    # theta=0.5; see frontier_schedule_3d docstring)
+    measured = {
+        524288: [
+            [8, 64, 512, 1650, 9160, 0, 0],        # uniform
+            [8, 31, 67, 267, 1139, 4216, 9960],    # blobs
+        ],
+        1048576: [
+            [8, 64, 512, 1650, 8048, 0, 0],
+            [8, 39, 108, 215, 965, 3672, 9608],
+        ],
+    }
+    for n, profiles in measured.items():
+        md = default_max_depth3(n)
+        caps = cap_defaults_3d(n)
+        sched = frontier_schedule_3d(caps["frontier_cap"], md, n)
+        for prof in profiles:
+            assert len(prof) == md
+            for level, demand in enumerate(prof, start=1):
+                assert demand <= sched[level], (n, level, demand, sched)
+        # per-group approx/direct maxima (same calibration runs)
+        assert caps["list_cap"] >= 10467 * 1.3  # 512K blobs, 1.3x floor
+        assert caps["direct_cap"] >= 6368  # 512K dcm=64 probe bound
