@@ -78,25 +78,31 @@ def frontier_peak(n_bodies: int) -> int:
 
 def cap_defaults(group_size: int, n_bodies: int) -> dict:
     """Interaction-list cap defaults, calibrated on measured per-group
-    demand with ~1.5-2x headroom (uniform + two-blob collapsed
-    distributions at N in {64K, 256K, 1M}, gs=2048, n_sub=16):
+    demand (scripts/demand.py; uniform + two-blob collapsed
+    distributions, gs=2048, n_sub=16):
 
-    | N    | approx | direct cells | direct bodies | frontier peak |
-    |------|--------|--------------|---------------|----------------|
-    | 64K  | 829    | 517          | 11,643        | 780            |
-    | 256K | 1,062  | 1,073        | 22,564        | 1,452          |
-    | 1M   | 1,818  | 1,743        | 39,539        | 2,646          |
+    | N    | approx (uni/blob) | direct cells | frontier (uni/blob) |
+    |------|-------------------|--------------|----------------------|
+    | 64K  | 398 / 566         | 517 / 2,018  | 722 / 1,468          |
+    | 256K | 1,062             | 1,073        | 1,452                |
+    | 1M   | 1,818 / 5,750     | 1,743 / 933  | 2,646 / 5,104        |
 
-    Demand is nearly independent of group size (it is set by theta and
-    the tree geometry) but grows with body density, hence the N scaling.
-    The overflow flag guards any distribution that beats the headroom.
+    The collapsed state dominates approx demand at large N (deep
+    aggregates) and direct demand at small N (dense near fields at
+    coarse leaf resolution); the round-2 uniform-only calibration
+    overflowed on blobs at 64K (direct) and 1M (approx + frontier
+    max-depth tail) — caught by the round-3 calibration tooling.  The
+    overflow flag guards any distribution beyond the headroom.
     """
     peak = frontier_peak(n_bodies)
     return dict(
         # rounded up to a multiple of 2048 so the Pallas section offset
-        # tiles at the full k_tile (list_eval_pallas)
-        list_cap=max(2048, -(-(3 * peak // 4) // 2048) * 2048),
-        direct_cap=max(1024, 3 * peak // 4),
+        # tiles at the full k_tile (list_eval_pallas); 7/4*peak covers
+        # the 1M-blobs 5,750 with 1.42x headroom
+        list_cap=max(2048, -(-(7 * peak // 4) // 2048) * 2048),
+        # floor 2,560 covers the 64K-blobs 2,018 (1.27x); 3/4*peak
+        # keeps the uniform large-N scaling (1.76x at 1M)
+        direct_cap=max(2560, 3 * peak // 4),
         direct_body_cap=max(24576, 16 * peak),
         frontier_cap=peak,
     )
@@ -110,11 +116,13 @@ def frontier_schedule(
     A flat cap pays the peak at EVERY level; the measured demand is a
     hump peaking at the level where bodies/cell ~ 16 (uniform states;
     e.g. level 6 at N=64K, level 8 at N=1M) with a secondary tail at
-    max_depth for collapsed states (~780-1100 across N).  The schedule
-    sizes the peak level at ``peak``, its neighbours at peak/2..peak/8
-    by distance, and the deepest level at ``peak`` (collapsed tail),
-    cutting total gather rows ~3x vs the flat cap at N=64K; the overflow
-    flag still guards any distribution that beats it.
+    max_depth for collapsed states (measured up to 2*peak: 1,468 @64K /
+    5,104 @1M two-blob).  The schedule sizes the peak level at ``peak``,
+    its neighbours at peak/2..peak/8 by distance, and the deepest TWO
+    levels at ``2*peak`` (the collapsed tail peaks at max_depth-1 or
+    max_depth depending on N), cutting total gather rows ~3x vs a flat
+    2*peak cap at N=64K; the overflow flag still guards any
+    distribution that beats it.
 
     The hump level l* = log4(N/16) holds for a uniform cloud filling the
     root bbox; it is NOT stable mid-run.  Two measured failure modes
@@ -137,11 +145,16 @@ def frontier_schedule(
     for level in range(max_depth + 1):
         if level <= 3:
             c = 4**level
+        elif level >= max_depth - 1:
+            # collapsed-state tail peaks at max_depth-1 or max_depth
+            # (scripts/demand.py blobs: 1,468 @l8/md=9 at 64K, 5,104
+            # @l9=md at 1M — both above the old flat peak)
+            c = 2 * peak
         elif level >= lo_star:
             c = peak
         else:
             c = peak >> min(lo_star - level, 3)
-        shape.append(int(min(c, peak, 4**level)))
+        shape.append(int(min(c, 2 * peak, 4**level)))
     return tuple(shape)
 
 

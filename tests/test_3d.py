@@ -464,3 +464,42 @@ def test_frontier_schedule_3d_covers_measured_demand():
         # per-group approx/direct maxima (same calibration runs)
         assert caps["list_cap"] >= 10467 * 1.3  # 512K blobs, 1.3x floor
         assert caps["direct_cap"] >= 6368  # 512K dcm=64 probe bound
+
+
+def test_frontier_schedule_2d_covers_measured_demand():
+    """The 2D schedule/caps must cover the scripts/demand.py
+    calibration (the round-2 uniform-only calibration overflowed on the
+    collapsed distribution at 64K and 1M — direct cells, approx list,
+    and the max-depth frontier tail)."""
+    from nbody_tpu.ops.bh_grouped import cap_defaults, frontier_schedule
+
+    measured = {
+        65536: dict(
+            frontier=[
+                [4, 16, 64, 122, 276, 722, 56, 0, 0],      # uniform
+                [4, 12, 36, 44, 112, 304, 780, 1468, 60],  # blobs
+            ],
+            approx=566, direct=2018,
+        ),
+        1048576: dict(
+            frontier=[
+                [4, 16, 64, 112, 224, 448, 1024, 2646, 224],
+                [4, 12, 37, 71, 139, 320, 816, 2104, 5104],
+            ],
+            approx=5750, direct=1743,
+        ),
+    }
+    md = 9
+    for n, m in measured.items():
+        caps = cap_defaults(2048, n)
+        sched = frontier_schedule(caps["frontier_cap"], md, n)
+        for prof in m["frontier"]:
+            for level, demand in enumerate(prof, start=1):
+                # headroom where the cap prunes; full-level caps can't
+                # exceed the level size
+                need = (
+                    demand * 1.2 if sched[level] < 4**level else demand
+                )
+                assert need <= sched[level], (n, level, demand, sched)
+        assert caps["list_cap"] >= m["approx"] * 1.3, n
+        assert caps["direct_cap"] >= m["direct"] * 1.2, n
