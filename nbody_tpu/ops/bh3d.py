@@ -336,11 +336,16 @@ def _collect_lists_3d(
             demand.append(jnp.max(jnp.sum(cmask, axis=1)))
 
         next_cap = min(8 * fcap, frontier_caps[level + 1])
-        (nf,), ovf = _sort_compact(
-            cmask, [jnp.where(cmask, children, -1)], next_cap
-        )
-        overflow = overflow | ovf
-        frontier = nf
+        if next_cap == 8 * fcap:
+            # non-binding cap: skip the cosmetic compaction sort (see
+            # the 2D mirror)
+            frontier = jnp.where(cmask, children, -1)
+        else:
+            (nf,), ovf = _sort_compact(
+                cmask, [jnp.where(cmask, children, -1)], next_cap
+            )
+            overflow = overflow | ovf
+            frontier = nf
         fcap = next_cap
 
     (lx, ly, lz, lm), ovf_a = _sort_compact(

@@ -101,8 +101,12 @@ def cap_defaults(group_size: int, n_bodies: int) -> dict:
         # the 1M-blobs 5,750 with 1.42x headroom
         list_cap=max(2048, -(-(7 * peak // 4) // 2048) * 2048),
         # floor 2,560 covers the 64K-blobs 2,018 (1.27x); 3/4*peak
-        # keeps the uniform large-N scaling (1.76x at 1M)
-        direct_cap=max(2560, 3 * peak // 4),
+        # keeps the uniform large-N scaling (1.76x at 1M); a direct
+        # cell holds >= 2 bodies, so n//2 bounds the count at small N
+        # (keeps small-N compiles narrow)
+        direct_cap=min(
+            max(2560, 3 * peak // 4), max(256, n_bodies // 2)
+        ),
         direct_body_cap=max(24576, 16 * peak),
         frontier_cap=peak,
     )
@@ -372,11 +376,17 @@ def _collect_lists(
             demand.append(jnp.max(jnp.sum(cmask, axis=1)))
 
         next_cap = min(4 * fcap, frontier_caps[level + 1])
-        (nf,), ovf = _sort_compact(
-            cmask, [jnp.where(cmask, children, -1)], next_cap
-        )
-        overflow = overflow | ovf
-        frontier = nf
+        if next_cap == 4 * fcap:
+            # the cap doesn't bind: no truncation is possible, so the
+            # compaction sort is pure cosmetics — carry the children
+            # with -1 holes instead (the walk masks on frontier >= 0)
+            frontier = jnp.where(cmask, children, -1)
+        else:
+            (nf,), ovf = _sort_compact(
+                cmask, [jnp.where(cmask, children, -1)], next_cap
+            )
+            overflow = overflow | ovf
+            frontier = nf
         fcap = next_cap
 
     (lx, ly, lm), ovf_a = _sort_compact(
