@@ -82,6 +82,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "quarter of a group evaluates only the direct "
                         "cells its own sub-bboxes fail theta against "
                         "(default auto: on for groups >= 512)")
+    p.add_argument("--no-adaptive-caps", action="store_true",
+                   help="disable the overflow retry (by default an "
+                        "overflowed step is recomputed with 4x caps; "
+                        "disabled = the reference's warn-only behavior)")
     # init modes (README.md:14-18: CPU init / GPU init / load from files)
     p.add_argument("--init-mode", choices=["uniform", "blobs"],
                    default="uniform",
@@ -161,6 +165,7 @@ def _build_config(args):
         split_eval={"auto": None, "on": True, "off": False}[
             args.split_eval
         ],
+        adaptive_caps=not args.no_adaptive_caps,
         save_positions=args.save_positions,
         save_tree_dumps=args.save_tree_dumps,
         output_dir=args.output_dir,

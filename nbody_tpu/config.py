@@ -180,6 +180,12 @@ class SimConfig:
     # as COMs through an extension section).  False forces whole-group
     # evaluation.
     split_eval: Optional[bool] = None
+    # Adaptive cap retry (contract loop, barnes_hut): when a step's
+    # traversal caps overflow, recompute that step from the pre-step
+    # state with every cap at 4x (lazily compiled on first overflow) —
+    # the calibrated caps stay the fast path, pathological states get
+    # correctness instead of dropped interactions.
+    adaptive_caps: bool = True
 
     # Parallelism.
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)

@@ -21,6 +21,29 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def resolved_caps(config: SimConfig) -> dict:
+    """The traversal caps the barnes_hut engine will actually use —
+    explicit config values where set, the demand-calibrated defaults
+    otherwise.  Basis for the adaptive-caps retry (simulation.py):
+    scaling these uniformly scales the whole frontier schedule too
+    (frontier_schedule derives every level from frontier_cap)."""
+    n = config.n_bodies
+    if getattr(config, "n_dim", 2) == 3:
+        from ..ops.bh3d import cap_defaults_3d
+
+        d = cap_defaults_3d(n)
+    else:
+        from ..ops.bh_grouped import cap_defaults
+
+        d = cap_defaults(config.group_size, n)
+    return dict(
+        frontier_cap=config.frontier_cap or d["frontier_cap"],
+        list_cap=config.list_cap or d["list_cap"],
+        direct_cap=config.direct_cap or d["direct_cap"],
+        direct_body_cap=config.direct_body_cap or d["direct_body_cap"],
+    )
+
+
 def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callable:
     """Build the configured engine's acceleration function.
 

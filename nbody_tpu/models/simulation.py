@@ -41,6 +41,7 @@ class Simulation:
         multi-chip CLI path passes a sharded step from
         :mod:`nbody_tpu.parallel` here and reuses the same contract loop."""
         self.config = config
+        self._step_fallback = None  # lazily-built 4x-cap retry step
         if config.dtype == "float64" and not jax.config.jax_enable_x64:
             # the reference is all-fp64 (project.cu:38-43); without the
             # x64 flag JAX silently downcasts, which would corrupt parity
@@ -166,6 +167,7 @@ class Simulation:
             if dump_tree and step_idx in (0, cfg.n_steps - 1):
                 self._dump_tree(state, first=(step_idx == 0))
 
+            prev = state
             watch.start()
             if step_fn is not None:
                 state, n_ovf = step_fn(state)
@@ -174,6 +176,27 @@ class Simulation:
                 n_ovf = None
             jax.block_until_ready(state.positions)
             watch.stop()
+
+            if (
+                n_ovf is not None
+                and int(n_ovf)
+                and getattr(cfg, "adaptive_caps", True)
+            ):
+                # adaptive retry: recompute THIS step from the pre-step
+                # state with 4x caps (lazily compiled on first overflow;
+                # the calibrated caps stay the fast path for every
+                # non-pathological step)
+                import sys as _sys
+
+                print(
+                    f"step {step_idx}: caps overflowed for {int(n_ovf)} "
+                    "bodies; retrying with 4x caps (adaptive)",
+                    file=_sys.stderr,
+                )
+                watch.start()
+                state, n_ovf = self._fallback_step()(prev)
+                jax.block_until_ready(state.positions)
+                watch.stop()
 
             if n_ovf is not None and int(n_ovf):
                 overflow_steps += 1
@@ -238,6 +261,28 @@ class Simulation:
         final, traj = self._scan_traj(self.state, n)
         self.state = final
         return final, traj
+
+    # ------------------------------------------------------------------
+    def _fallback_step(self):
+        """The adaptive-caps retry step: the engine with every traversal
+        cap at 4x its resolved value (explicit or calibrated default).
+        Compiled lazily — a run that never overflows never pays for it;
+        the frontier schedule scales with frontier_cap, so 4x lifts
+        every level proportionally."""
+        if self._step_fallback is None:
+            from .engines import make_accel_fn as _maf, resolved_caps
+
+            caps = {k: 4 * v for k, v in resolved_caps(self.config).items()}
+            cfg4 = self.config.replace(**caps)
+            accel = _maf(cfg4, return_diagnostics=True)
+            dt = self.config.dt
+
+            def stepf(state: SimState):
+                acc, ovf = accel(state.positions, state.masses)
+                return integrate(state, acc, dt), jnp.sum(ovf)
+
+            self._step_fallback = jax.jit(stepf)
+        return self._step_fallback
 
     # ------------------------------------------------------------------
     def _tree_stats(self, state: SimState, enabled: bool):

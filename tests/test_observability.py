@@ -207,3 +207,46 @@ def test_format_bodies():
         "  Position: [ 0.25 -0.5 ]",
         "  Velocity: [ 0.0001 0 ]",
     ]
+
+
+def test_adaptive_caps_retry(tmp_path, capsys):
+    """A step whose traversal caps overflow is recomputed with 4x caps
+    (lazily compiled); the retried step matches a run configured with
+    the larger caps from the start, and overflow is not reported."""
+    import numpy as np
+
+    from nbody_tpu import SimConfig
+    from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.rng import random_state
+
+    # a frontier cap far below demand at this N forces overflow
+    base = dict(
+        n_bodies=2048, n_steps=2, engine="barnes_hut", seed=5,
+        frontier_cap=32, group_size=256, output_dir=str(tmp_path),
+    )
+    cfg = SimConfig(**base)
+    state0 = random_state(cfg)
+
+    sim = Simulation(cfg, state=state0)
+    final, _ = sim.run_contract()
+    err = capsys.readouterr().err
+    assert "retrying with 4x caps" in err
+
+    from nbody_tpu.models.engines import resolved_caps
+
+    caps4 = {k: 4 * v for k, v in resolved_caps(cfg).items()}
+    cfg_big = SimConfig(**{**base, **caps4})
+    ref = Simulation(cfg_big, state=state0)
+    final_ref, _ = ref.run_contract()
+    err_ref = capsys.readouterr().err
+    assert "retrying" not in err_ref  # 4x caps don't overflow here
+    np.testing.assert_array_equal(
+        np.asarray(final.positions), np.asarray(final_ref.positions)
+    )
+
+    # warn-only mode preserves the reference behavior
+    cfg_off = SimConfig(**{**base, "adaptive_caps": False})
+    Simulation(cfg_off, state=state0).run_contract()
+    err_off = capsys.readouterr().err
+    assert "retrying" not in err_off
+    assert "overflowed" in err_off
