@@ -214,6 +214,7 @@ def cmd_run(args) -> int:
         )
 
     step_fn = None
+    step_fallback_fn = None
     if args.devices > 1:
         from .parallel import make_mesh, make_mesh_2d, make_sharded_step, shard_state
 
@@ -242,11 +243,27 @@ def cmd_run(args) -> int:
             mesh = make_mesh(args.devices)
             state = shard_state(state, mesh)
         step_fn = make_sharded_step(config, mesh, mode)
+        if "barnes_hut" in mode:
+            # adaptive-caps retry for the sharded tree modes: same 4x
+            # policy as the single-chip loop (the overflow count is
+            # psum'd inside the step and rides in state.overflow)
+            def step_fallback_fn(_mesh=mesh, _mode=mode):
+                from .models.engines import resolved_caps
+
+                caps = {
+                    k: 4 * v for k, v in resolved_caps(config).items()
+                }
+                return make_sharded_step(
+                    config.replace(**caps), _mesh, _mode
+                )
 
     from .models.simulation import Simulation
 
     os.makedirs(args.output_dir, exist_ok=True)
-    sim = Simulation(config, state=state, step_fn=step_fn)
+    sim = Simulation(
+        config, state=state, step_fn=step_fn,
+        step_fallback_fn=step_fallback_fn,
+    )
 
     if args.check_overflow and args.engine == "barnes_hut" and args.devices == 1:
         # Diagnose the engine that will actually run: dispatch on bh_mode
@@ -303,11 +320,12 @@ def cmd_run(args) -> int:
                 sim.state, config.n_steps
             ).compile()
             t0 = _time.perf_counter()
-            final, traj = compiled(sim.state)
+            final, traj, scan_ovf = compiled(sim.state)
             jax.block_until_ready(traj)
             float(final.positions[0, 0])  # tunnel sync (see bench.py)
             elapsed = _time.perf_counter() - t0
             sim.state = final
+            sim._report_scan_overflow(scan_ovf)
 
             if args.save_positions:
                 from .utils.textio import PositionsWriter
@@ -331,12 +349,13 @@ def cmd_run(args) -> int:
                 sim.state, config.n_steps
             ).compile()
             t0 = _time.perf_counter()
-            final = compiled(sim.state)
+            final, scan_ovf = compiled(sim.state)
             jax.block_until_ready(final.positions)
             # the tunnel's block_until_ready may not wait; force a fetch
             float(final.positions[0, 0])
             elapsed = _time.perf_counter() - t0
             sim.state = final
+            sim._report_scan_overflow(scan_ovf)
         timing = RunTiming(total_ms=elapsed * 1e3,
                            parallel_us=elapsed * 1e6)
     else:

@@ -57,4 +57,5 @@ def shard_state(state: SimState, mesh: Mesh, axis_name: str = "dp") -> SimState:
         velocities=jax.device_put(state.velocities, body2),
         time=jax.device_put(state.time, rep),
         step=jax.device_put(state.step, rep),
+        overflow=jax.device_put(state.overflow, rep),
     )

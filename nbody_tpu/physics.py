@@ -113,17 +113,24 @@ def pair_accelerations_chunked(
 
 
 def integrate(
-    state: SimState, accelerations: jax.Array, dt: float
+    state: SimState, accelerations: jax.Array, dt: float, overflow=None
 ) -> SimState:
-    """Semi-implicit Euler: v' = v + a*dt ; p' = p + v'*dt (project.cu:819-836)."""
+    """Semi-implicit Euler: v' = v + a*dt ; p' = p + v'*dt (project.cu:819-836).
+
+    ``overflow`` is the count of bodies whose traversal caps overflowed
+    while computing ``accelerations`` (0 when the engine cannot
+    overflow); it rides in the returned state as per-step telemetry."""
     new_v = state.velocities + accelerations * dt
     new_p = state.positions + new_v * dt
+    if overflow is None:
+        overflow = jnp.asarray(0, jnp.int32)
     return SimState(
         masses=state.masses,
         positions=new_p,
         velocities=new_v,
         time=state.time + jnp.asarray(dt, dtype=state.time.dtype),
         step=state.step + 1,
+        overflow=jnp.asarray(overflow, jnp.int32),
     )
 
 

@@ -29,6 +29,11 @@ class SimState:
     velocities: jax.Array  # [N, 2]
     time: jax.Array  # scalar
     step: jax.Array  # scalar int32
+    # bodies whose traversal caps overflowed in the step that produced
+    # this state (global count across shards — sharded steps psum it).
+    # The carried-in-state analogue of the reference kernel's stack-guard
+    # printfs (project.cu:712-721); 0 for engines that cannot overflow.
+    overflow: jax.Array  # scalar int32
 
     @property
     def n_bodies(self) -> int:
@@ -70,6 +75,7 @@ def make_state(
         velocities=velocities,
         time=jnp.asarray(time, dtype=dtype),
         step=jnp.asarray(step, dtype=jnp.int32),
+        overflow=jnp.asarray(0, dtype=jnp.int32),
     )
 
 

@@ -169,3 +169,34 @@ def test_shard_state_requires_divisible(cloud):
     state = make_state(masses[:500], positions[:500], velocities[:500])
     with pytest.raises(ValueError, match="not divisible"):
         shard_state(state, make_mesh(8))
+
+
+def test_sharded_overflow_surfaces(cloud):
+    """Round-3 weak #3: multi-chip modes must NOT silently drop
+    interactions on cap overflow.  A deliberately under-capped sharded
+    run reports a nonzero GLOBAL overflow count in state.overflow (the
+    psum'd analogue of the reference kernel's stack-guard printfs,
+    project.cu:712-721); calibrated caps report zero."""
+    masses, positions, velocities = cloud
+    mesh = make_mesh(8)
+
+    # frontier_cap=128 genuinely overflows the window-gated sharded
+    # traversal at this N (measured; it's why the dryrun moved to
+    # calibrated caps)
+    cfg_small = SimConfig(n_bodies=N, frontier_cap=128)
+    step = make_sharded_step(cfg_small, mesh, "dp_barnes_hut_sharded")
+    state = shard_state(make_state(masses, positions, velocities), mesh)
+    state = step(state)
+    assert int(np.asarray(state.overflow)) > 0
+
+    cfg_auto = SimConfig(n_bodies=N)  # demand-calibrated caps
+    step = make_sharded_step(cfg_auto, mesh, "dp_barnes_hut_sharded")
+    state = shard_state(make_state(masses, positions, velocities), mesh)
+    state = step(state)
+    assert int(np.asarray(state.overflow)) == 0
+
+    # overflow-free engines carry an explicit zero
+    step = make_sharded_step(cfg_auto, mesh, "dp_allpairs")
+    state = shard_state(make_state(masses, positions, velocities), mesh)
+    state = step(state)
+    assert int(np.asarray(state.overflow)) == 0
