@@ -221,11 +221,12 @@ def cmd_run(args) -> int:
         mode = args.mode
         if mode == "auto":
             if args.engine == "barnes_hut":
-                mode = (
-                    "dp_barnes_hut_grouped3"
-                    if getattr(args, "dims", 2) == 3
-                    else "dp_barnes_hut_grouped"
-                )
+                # HBM-fit gate: grouped (full replication, fastest) vs
+                # sharded (O(N/devices) sources) — parallel/memory.py,
+                # the reference's 48KB-gate decision logic at HBM scale
+                from .parallel.memory import choose_bh_mode
+
+                mode = choose_bh_mode(config, args.devices, verbose=True)
             else:
                 mode = "dp_allpairs"
         if getattr(args, "dims", 2) == 3 and mode in (

@@ -740,6 +740,18 @@ STEP_BUILDERS = {
 def make_sharded_step(
     config: SimConfig, mesh: Mesh, mode: str = "dp_allpairs"
 ) -> Callable:
+    """Build a sharded step.  ``mode="auto"`` picks the Barnes-Hut
+    distribution (grouped full-replication vs sharded-source window)
+    from the per-chip HBM model in :mod:`nbody_tpu.parallel.memory` —
+    the HBM-scale analogue of the reference's fits-in-48KB shared-memory
+    gate (project.cu:971-974)."""
+    if mode == "auto":
+        from .memory import choose_bh_mode
+
+        n_devices = 1
+        for ax in mesh.axis_names:
+            n_devices *= mesh.shape[ax]
+        mode = choose_bh_mode(config, n_devices, verbose=True)
     try:
         return STEP_BUILDERS[mode](config, mesh)
     except KeyError:
