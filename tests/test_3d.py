@@ -137,6 +137,7 @@ def test_grouped3_theta_zero_converges(cloud3):
     assert rel.max() < 1e-4
 
 
+@pytest.mark.slow
 def test_list_eval_pallas_3d_interpret(cloud3):
     """The streaming kernel path in 3D (interpret mode) must match the
     XLA fallback evaluation."""
@@ -185,6 +186,7 @@ def test_list_eval_pallas_3d_interpret(cloud3):
     assert np.abs(a_pl - a_xla).max() / scale < 1e-5
 
 
+@pytest.mark.slow
 def test_simulation_3d_contract(tmp_path):
     from nbody_tpu import SimConfig
     from nbody_tpu.models.simulation import Simulation
@@ -234,6 +236,7 @@ def test_simulation_3d_energy_drift():
     assert np.abs(p1 - p0).max() < 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_3d_matches_single_device(rng):
     """dp_barnes_hut_grouped3 on the fake 8-device mesh reproduces the
     single-device grouped-3D trajectory."""
@@ -266,6 +269,7 @@ def test_sharded_3d_matches_single_device(rng):
     assert np.abs(got - ref).max() / scale < 1e-5
 
 
+@pytest.mark.slow
 def test_sharded3_window_mode_matches_grouped(rng):
     """dp_barnes_hut_sharded3 (per-chip sources O(N/devices + tree))
     tracks the single-device grouped-3D trajectory on a
@@ -387,6 +391,7 @@ def test_cli_compare_3d_rejects_host_engines(tmp_path, capsys):
     assert rc == 2
 
 
+@pytest.mark.slow
 def test_cli_sweep_3d_strong(tmp_path, capsys, monkeypatch):
     """Strong-scaling sweep in 3D on the fake mesh; reference results-file
     shape preserved."""

@@ -59,6 +59,7 @@ def test_theta_zero_converges_to_allpairs():
     np.testing.assert_allclose(np.asarray(got), ap, atol=1e-5 * scale)
 
 
+@pytest.mark.slow
 def test_overflow_flag_fires():
     """When the frontier cannot hold the open set, the per-body overflow
     flag must report it (the analogue of the reference's in-kernel stack
@@ -107,6 +108,7 @@ def test_max_depth_aggregation_self_interaction():
     assert np.sign(got[0, 0]) != np.sign(got[1, 0])
 
 
+@pytest.mark.slow
 def test_trajectory_parity_with_oracle():
     """Multi-step BH trajectory within the 1e-3 budget of the f64 oracle
     (BASELINE.json: 'Barnes-Hut theta=0.5 within 1e-3 relative trajectory

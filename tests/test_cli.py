@@ -41,6 +41,7 @@ def test_run_prints_timing_contract(tmp_path, capsys):
     assert PARALLEL_RE.search(out), out
 
 
+@pytest.mark.slow
 def test_run_eval_mode_flags(tmp_path, capsys):
     """--eval-mode/--eval-k-tile/--run-cap reach the grouped engine
     (smoke: the kwargs are accepted end-to-end; on CPU the XLA
@@ -244,6 +245,7 @@ def test_sweep_bodies_format(tmp_path, capsys, monkeypatch):
     assert {int(m.group(1)) for m in configs} == {32, 64}
 
 
+@pytest.mark.slow
 def test_sweep_unreachable_devices_warn_and_bootstrap(
     tmp_path, capsys, monkeypatch
 ):
@@ -293,6 +295,7 @@ def test_sweep_fake_mesh_never_filters_loudly(tmp_path, capsys, monkeypatch):
     assert threads == {1}
 
 
+@pytest.mark.slow
 def test_sweep_intra_chip_axis(tmp_path, capsys, monkeypatch):
     """--sweep-axis group-chunk yields a processor-count-style multi-point
     curve on ONE device in the plot_first_scale.py format (the reference's
@@ -353,6 +356,7 @@ def test_plot_subcommand(tmp_path, capsys, monkeypatch):
     assert main(["plot"]) == 2  # nothing to plot
 
 
+@pytest.mark.slow
 def test_init_mode_blobs(tmp_path, capsys):
     """--init-mode blobs: two dense clusters inside the domain, run end
     to end through the grouped engine (the collapsed worst case the

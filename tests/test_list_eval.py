@@ -92,6 +92,7 @@ def test_self_exclusion_d2_guard(kernel):
     assert np.all(out == 0.0)
 
 
+@pytest.mark.slow
 def test_runs_evaluator_matches_xla_whole_path():
     """eval_mode='runs' (gather-free direct streaming from the sorted
     table) must reproduce the XLA fallback through the whole grouped
@@ -132,6 +133,7 @@ def test_runs_evaluator_matches_xla_whole_path():
         le.list_eval_runs = orig
 
 
+@pytest.mark.slow
 def test_split_evaluator_whole_path():
     """Quarter-split runs evaluation (split_eval=True): per-quarter
     direct ranges + COM extension section.  Physics stays in the BH

@@ -38,6 +38,7 @@ def test_metrics_csv(tmp_path):
     assert 64 <= int(rows[0]["tree_nodes"]) <= 64 * 10
 
 
+@pytest.mark.slow
 def test_metrics_csv_through_run_contract(tmp_path):
     """--metrics-csv runs on the tree engine must produce non-empty
     tree_nodes / tree_max_depth columns (the integration the reference's
@@ -67,6 +68,7 @@ def test_metrics_csv_through_run_contract(tmp_path):
     assert rows2[0]["tree_nodes"] == ""
 
 
+@pytest.mark.slow
 def test_energy_finite_and_conserved_at_scale(tmp_path):
     """total_energy must be finite above the old 16,384-body dense cutoff
     (round-2 verdict item 6: no NaN energy at flagship N) and drift only
@@ -209,6 +211,7 @@ def test_format_bodies():
     ]
 
 
+@pytest.mark.slow
 def test_adaptive_caps_retry(tmp_path, capsys):
     """A step whose traversal caps overflow is recomputed with 4x caps
     (lazily compiled); the retried step matches a run configured with

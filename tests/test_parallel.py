@@ -93,6 +93,7 @@ def test_sharded_matches_single(cloud, mode):
     assert len(state.positions.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [2, 8])
 def test_sharded_window_mode_matches_grouped(n_dev):
     """dp_barnes_hut_sharded (O(N/devices + tree) per-chip sources) must
@@ -171,6 +172,7 @@ def test_shard_state_requires_divisible(cloud):
         shard_state(state, make_mesh(8))
 
 
+@pytest.mark.slow
 def test_sharded_overflow_surfaces(cloud):
     """Round-3 weak #3: multi-chip modes must NOT silently drop
     interactions on cap overflow.  A deliberately under-capped sharded
