@@ -736,38 +736,39 @@ def _evaluate_pallas_runs_split(
         axis=1,
     )  # [G, 8, A]
 
-    # extension table [G, 8, E]: rows [coords..., gm, use_q0..use_q3]
-    # where use_qk = 1 iff quarter k's theta passes for the cell (it
-    # contributes as a COM there; elsewhere it is in the quarter's
-    # direct ranges).  Cells needed direct by EVERY quarter get an
-    # all-zero mask row and are skipped by the gm > 0 guard via gm*mask.
+    # per-QUARTER compacted extension tables [4G, 8, E]: rows
+    # [coords..., gm, 0...].  Quarter q uses a group-direct cell's COM
+    # iff its own theta passes (use = direct-for-some-quarter AND NOT
+    # direct-for-q); a stable sort packs exactly those cells into the
+    # prefix, so the kernel streams ceil(used_q / k_tile) tiles — the
+    # occupancy-pruned e_t PERF.md round 3 identified — instead of the
+    # whole group-direct union with a mask.  Cells needed direct by
+    # EVERY quarter appear in no table (zero used entries).
     bits = quarters["bits"]  # [G, E]
     dc = ranges[:, :, 1]
-    epad = (-bits.shape[1]) % k_tile
-    def padq(a, v=0):
-        return (
-            jnp.pad(a, ((0, 0), (0, epad)), constant_values=v)
-            if epad
-            else a
-        )
-    use = [
-        padq(
-            jnp.where((dc > 0) & ((bits >> q) & 1 == 0), 1.0, 0.0)
-        ).astype(f32)
-        for q in range(4)
-    ]
-    ext_rows = (
-        [padq(c)[:, None, :] for c in quarters["com"]]
-        + [
-            (jnp.asarray(g_const, f32) * padq(quarters["mass"]))[
-                :, None, :
-            ]
+    e_raw = bits.shape[1]
+    epad = (-e_raw) % k_tile
+    gm_all = jnp.asarray(g_const, f32) * quarters["mass"]  # [G, E]
+    ext_q = []
+    elen_q = []
+    for q in range(4):
+        use = (dc > 0) & (((bits >> q) & 1) == 0)  # [G, E] bool
+        order = jnp.argsort(~use, axis=1, stable=True)  # used first
+        use_s = jnp.take_along_axis(use, order, axis=1)
+        rows = [
+            jnp.take_along_axis(c, order, axis=1)[:, None, :]
+            for c in quarters["com"]
         ]
-        + [u[:, None, :] for u in use]
-        + [jnp.zeros((gg, 1, bits.shape[1] + epad), f32)]
-        * (8 - dims - 5)
-    )
-    ext = jnp.concatenate(ext_rows, axis=1)  # [G, 8, E]
+        rows.append(
+            jnp.where(use_s, jnp.take_along_axis(gm_all, order, axis=1),
+                      jnp.asarray(0.0, f32))[:, None, :]
+        )
+        rows.append(jnp.zeros((gg, 8 - dims - 1, e_raw), f32))
+        ext_q.append(jnp.concatenate(rows, axis=1))  # [G, 8, E_raw]
+        elen_q.append(jnp.sum(use, axis=1).astype(jnp.int32))  # [G]
+    ext = jnp.stack(ext_q, axis=1).reshape(4 * gg, 8, e_raw)
+    if epad:
+        ext = jnp.pad(ext, ((0, 0), (0, 0), (0, epad)))
 
     # per-quarter direct ranges: zero the count where the quarter's
     # theta passes (the cell went to its extension section instead)
@@ -797,11 +798,11 @@ def _evaluate_pallas_runs_split(
     srct = srct.at[dims, :ns].set(sorted_gm)
 
     alen = jnp.sum(lmp > 0, axis=1).astype(jnp.int32)  # [G]
-    # direct cells are left-compacted (_sort_compact keeps order), so
-    # the per-group count is the extension section's occupied prefix
-    elen = jnp.sum(dc > 0, axis=1).astype(jnp.int32)  # [G]
+    # per-quarter occupied extension prefix (i = 4g + q ordering, same
+    # as the tile table's reshape)
+    elen = jnp.stack(elen_q, axis=1).reshape(-1)  # [4G]
     lens = jnp.stack(
-        [jnp.repeat(alen, 4), jnp.repeat(elen, 4), n_tiles], axis=0
+        [jnp.repeat(alen, 4), elen, n_tiles], axis=0
     )  # [3, 4G]
     acc = list_eval_runs_split(
         positions_grouped.astype(jnp.float32),

@@ -587,22 +587,28 @@ def list_eval_runs(
 
 def _runs_split_kernel(
     lens_ref,  # SMEM [3, 4G]: row 0 = approx lanes (per group, repeated
-    #            4x), row 1 = occupied extension lanes (the direct cells
-    #            are left-compacted, so the per-group count IS the
-    #            occupied prefix), row 2 = direct tiles per QUARTER
+    #            4x), row 1 = occupied extension lanes for THIS quarter
+    #            (the per-quarter table is left-compacted: only cells
+    #            this quarter actually uses occupy the prefix), row 2 =
+    #            direct tiles per QUARTER
     tgt_ref,  # (1, S/4, 8) VMEM quarter body block
     approx_hbm,  # [G, 8, A] per-group approx lists (ANY/HBM)
-    ext_hbm,  # [G, 8, E] extension table: rows [coords..., gm,
-    #           mask_q0..mask_q3(, pad)] — cells direct for SOME quarter;
-    #           mask_qk = 1 where quarter k may use the cell's COM
+    ext_hbm,  # [4G, 8, E] per-QUARTER compacted extension tables: rows
+    #           [coords..., gm, 0...] — ONLY the cells whose COM serves
+    #           this quarter (occupancy-pruned; gm == 0 marks padding)
     srct_hbm,  # [8, Npad] ALL sorted sources, transposed (ANY/HBM)
     tiles_hbm,  # [4G, 4, T] int32 per-QUARTER direct tile table
     out_ref,  # (1, S/4, 8) VMEM
     acc_ref,  # VMEM scratch (S/4, 8)
     buf_ref,  # VMEM scratch (2, 8, K_TILE) double buffer
+    appx_ref,  # VMEM scratch (8, A) group approx cache: HBM-loaded once
+    #            per GROUP (at quarter 0), served VMEM->VMEM to all four
+    #            quarters — the 4x grid no longer re-streams the shared
+    #            approx list from HBM
     tbl_ref,  # SMEM scratch (4, T) int32
     sem_ref,  # DMA semaphores (2,)
     tsem_ref,  # DMA semaphore for the table copy
+    asem_ref,  # DMA semaphore for the approx cache load
     *,
     softening,
     k_tile,
@@ -613,10 +619,11 @@ def _runs_split_kernel(
 ):
     """Quarter-split variant of :func:`_runs_kernel`: grid step = one
     QUARTER of a group.  Three source sections: the group's shared
-    approx list; the group's extension table (cells direct for some
-    other quarter whose COM serves this one — the per-quarter mask rides
-    in the table's spare rows, so gm is fetched pre-masked by one DMA);
-    this quarter's own direct Morton-run tiles."""
+    approx list (VMEM-cached across the group's four quarters); this
+    quarter's compacted extension table (cells direct for some other
+    quarter whose COM serves this one — occupancy-pruned on the host, so
+    the stream length tracks what the quarter actually uses, not the
+    group-direct union); this quarter's own direct Morton-run tiles."""
     i = pl.program_id(0)
     gi = i // 4
     qi = jax.lax.rem(i, 4)
@@ -630,13 +637,38 @@ def _runs_split_kernel(
 
     tdma = pltpu.make_async_copy(tiles_hbm.at[i], tbl_ref, tsem_ref)
     tdma.start()
+
+    # group approx cache: one HBM load per GROUP (grid steps are
+    # sequential, scratch persists across them), occupied tiles only
+    @pl.when((qi == 0) & (a_t > 0))
+    def _load_approx():
+        def _start(t, _):
+            pltpu.make_async_copy(
+                approx_hbm.at[gi, :, pl.ds(t * kt, k_tile)],
+                appx_ref.at[:, pl.ds(t * kt, k_tile)],
+                asem_ref,
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, a_t, _start, 0)
+
+        def _wait(t, _):
+            pltpu.make_async_copy(
+                approx_hbm.at[gi, :, pl.ds(t * kt, k_tile)],
+                appx_ref.at[:, pl.ds(t * kt, k_tile)],
+                asem_ref,
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, a_t, _wait, 0)
+
     tdma.wait()
 
     def start_or_wait(slot, t, start):
         @pl.when(t < a_t)
         def _approx():
             c = pltpu.make_async_copy(
-                approx_hbm.at[gi, :, pl.ds(t * kt, k_tile)],
+                appx_ref.at[:, pl.ds(t * kt, k_tile)],
                 buf_ref.at[slot],
                 sem_ref.at[slot],
             )
@@ -645,7 +677,7 @@ def _runs_split_kernel(
         @pl.when((t >= a_t) & (t < a_t + e_t))
         def _ext():
             c = pltpu.make_async_copy(
-                ext_hbm.at[gi, :, pl.ds((t - a_t) * kt, k_tile)],
+                ext_hbm.at[i, :, pl.ds((t - a_t) * kt, k_tile)],
                 buf_ref.at[slot],
                 sem_ref.at[slot],
             )
@@ -678,21 +710,11 @@ def _runs_split_kernel(
 
         start_or_wait(slot, t, False)
         src = buf_ref[slot]  # (8, K_TILE)
-        is_ext = (t >= a_t) & (t < a_t + e_t)
         is_dir = t >= a_t + e_t
         ti = jnp.maximum(t - a_t - e_t, 0)
         lo = jnp.where(is_dir, tbl_ref[1, ti], 0)
         hi = jnp.where(is_dir, tbl_ref[2, ti], kt)
         gm = src[dims : dims + 1, :]
-        # extension tiles: the per-quarter COM mask rides in the table's
-        # spare rows (dims+1 .. dims+4) — select this quarter's row by a
-        # static masked sum (dynamic sublane indexing is a Mosaic risk)
-        qmask = sum(
-            jnp.where(qi == q, 1.0, 0.0)
-            * src[dims + 1 + q : dims + 2 + q, :]
-            for q in range(4)
-        )
-        gm = jnp.where(is_ext, gm * qmask, gm)
         gm = jnp.where((lane >= lo) & (lane < hi), gm, 0.0)
         for si in range(n_s_tiles):
             tgt = tgt_ref[0, si * s_tile : (si + 1) * s_tile, :]
@@ -728,12 +750,14 @@ def _runs_split_kernel(
 def list_eval_runs_split(
     targets: jax.Array,  # [G, S, D] group body positions
     approx: jax.Array,  # [G, 8, A] group approx lists (zero-padded)
-    ext: jax.Array,  # [G, 8, E] extension table: rows [coords..., gm,
-    #                  mask_q0..3(, pad)]; gm == 0 marks padding
+    ext: jax.Array,  # [4G, 8, E] per-QUARTER compacted extension
+    #                  tables: rows [coords..., gm, 0...]; gm == 0 marks
+    #                  padding (only the cells this quarter uses occupy
+    #                  the prefix)
     sources_t: jax.Array,  # [8, Npad] sorted sources transposed
     tiles: jax.Array,  # [4G, 3, T] int32 per-QUARTER direct tile table
     lens: jax.Array,  # [3, 4G] int32: [approx lanes, occupied ext
-    #                    lanes, direct tile count]
+    #                    lanes for the quarter, direct tile count]
     *,
     softening: float,
     k_tile: int = 512,
@@ -747,7 +771,9 @@ def list_eval_runs_split(
     evaluated pair volume to what each quarter's own sub-bboxes fail
     theta against — the cells another quarter needs direct but this one
     does not contribute through the extension section as plain COMs
-    (exactly what the traversal emits when theta passes).  Returns
+    (exactly what the traversal emits when theta passes).  The extension
+    tables arrive occupancy-compacted per quarter and the shared approx
+    list is VMEM-cached across each group's four grid steps.  Returns
     [G, S, D] accelerations."""
     if jax.config.jax_enable_x64 and not interpret:
         raise ValueError(
@@ -771,6 +797,11 @@ def list_eval_runs_split(
     if a % k_tile:
         approx = jnp.pad(
             approx, ((0, 0), (0, 0), (0, k_tile - a % k_tile))
+        )
+    if approx.shape[2] * 8 * 4 > 4 * 1024 * 1024:
+        raise ValueError(
+            f"approx width {approx.shape[2]} overflows the 4 MiB VMEM "
+            "group-cache budget; lower list_cap or eval_k_tile"
         )
     e = ext.shape[2]
     if e % k_tile:
@@ -806,8 +837,10 @@ def list_eval_runs_split(
         scratch_shapes=[
             pltpu.VMEM((sq, 8), jnp.float32),
             pltpu.VMEM((2, 8, k_tile), jnp.float32),
+            pltpu.VMEM((8, approx.shape[2]), jnp.float32),
             pltpu.SMEM((4, t_cap), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
