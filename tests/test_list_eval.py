@@ -231,3 +231,48 @@ def test_dynamic_matches_grid_two_sections():
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-12
     )
+
+
+@pytest.mark.slow
+def test_split_evaluator_compacted_ext_blobs():
+    """Collapsed two-blob states stress the per-quarter extension
+    compaction (round 4): dense near fields make many group-direct
+    cells, each used by a different subset of quarters, so the
+    compacted prefixes differ per quarter.  Split must still match the
+    group-level evaluator to BH-approximation order (interpret mode)."""
+    import nbody_tpu.ops.list_eval as le
+    from nbody_tpu.ops.bh_grouped import bh_accelerations_grouped
+
+    orig = le.list_eval_runs_split
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    rng = np.random.default_rng(9)
+    n = 2048
+    G_ = 6.67e-11
+    m = jnp.asarray(10 ** rng.uniform(-1, np.log10(0.5), n), jnp.float32)
+    k = n // 2
+    c = rng.uniform(-0.05, 0.05, (2, 2))
+    pts = np.concatenate([
+        rng.normal(c[0], 0.004, (k, 2)),
+        rng.normal(c[1], 0.004, (n - k, 2)),
+    ])
+    p = jnp.asarray(np.clip(pts, -0.1, 0.1), jnp.float32)
+    try:
+        le.list_eval_runs_split = interp
+        a_split, ovf = bh_accelerations_grouped(
+            p, m, g=G_, group_size=512, group_chunk=8,
+            use_pallas=True, eval_mode="runs", eval_k_tile=256,
+            split_eval=True, return_diagnostics=True,
+        )
+        a_ref = bh_accelerations_grouped(
+            p, m, g=G_, group_size=512, group_chunk=8, use_pallas=False,
+        )
+        assert int(np.asarray(ovf).sum()) == 0
+        scale = float(jnp.max(jnp.abs(a_ref)))
+        d = float(jnp.max(jnp.abs(a_split - a_ref)))
+        assert d <= 2e-3 * scale, (d, scale)
+    finally:
+        le.list_eval_runs_split = orig
