@@ -4,9 +4,52 @@ The implementation lives in :mod:`nbody_tpu.bench.headline`; this shim is
 the file the benchmark driver invokes (``python bench.py`` from the repo
 root, where ``nbody_tpu`` is importable from the working directory or an
 installed package).
+
+A watchdog covers the one failure the in-process fallback ladder cannot:
+the TPU tunnel dying *between* the successful backend probe and the
+measurement — a hung device call is uninterruptible from Python, so
+after 15 minutes the watchdog thread emits the pure-NumPy fallback
+metric line itself and exits 0 (the reference's protocol never loses the
+measurement, project.cu:1096-1102; better a labeled CPU number than a
+timed-out artifact).
 """
 
-from nbody_tpu.bench.headline import main
+import json
+import os
+import sys
+import threading
+
+from nbody_tpu.bench.headline import _numpy_fallback, main
+
+_WATCHDOG_SECONDS = 900.0
+
+
+def _watchdog():
+    try:
+        line = json.dumps(_numpy_fallback())
+    except Exception:
+        line = json.dumps(
+            {
+                "metric": "allpairs_pairwise_interactions_per_sec",
+                "value": 0.0,
+                "unit": "pairs/s/chip",
+                "vs_baseline": 0.0,
+                "backend": "unavailable",
+            }
+        )
+    print(
+        f"bench: watchdog fired after {_WATCHDOG_SECONDS:.0f}s "
+        "(backend hung mid-measurement?) — emitting fallback line",
+        file=sys.stderr,
+        flush=True,
+    )
+    print(line, flush=True)
+    os._exit(0)
+
 
 if __name__ == "__main__":
+    timer = threading.Timer(_WATCHDOG_SECONDS, _watchdog)
+    timer.daemon = True
+    timer.start()
     main()
+    timer.cancel()
