@@ -134,6 +134,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         default="auto",
         help="sharded step selection when --devices > 1",
     )
+    p.add_argument(
+        "--hbm-gb", type=float, default=None,
+        help="per-chip HBM (GiB) for the --mode auto grouped-vs-sharded "
+             "gate (default 16; parallel/memory.py)",
+    )
 
 
 def _build_config(args):
@@ -224,9 +229,16 @@ def cmd_run(args) -> int:
                 # HBM-fit gate: grouped (full replication, fastest) vs
                 # sharded (O(N/devices) sources) — parallel/memory.py,
                 # the reference's 48KB-gate decision logic at HBM scale
-                from .parallel.memory import choose_bh_mode
+                from .parallel.memory import HBM_BYTES_DEFAULT, choose_bh_mode
 
-                mode = choose_bh_mode(config, args.devices, verbose=True)
+                hbm = (
+                    int(args.hbm_gb * 1024**3)
+                    if getattr(args, "hbm_gb", None)
+                    else HBM_BYTES_DEFAULT
+                )
+                mode = choose_bh_mode(
+                    config, args.devices, hbm_bytes=hbm, verbose=True
+                )
             else:
                 mode = "dp_allpairs"
         if getattr(args, "dims", 2) == 3 and mode in (
