@@ -829,10 +829,11 @@ def grouped_eval_3d(
             and gs >= 512
             and n_sub % 4 == 0
             # the union-factor cut only pays off against the huge
-            # dcm>=128 near fields (same-session A/B, PERF.md): 3D 1M
-            # 1,449 -> 960 ms/step, but 3D 256K 251 -> 348 and 2D 64K
-            # 4.7 -> 6.4 — the always-streamed extension section and
-            # the 4x grid overhead beat the saving at dcm=32 scales
+            # dcm>=128 near fields (same-session A/Bs, PERF.md round 4):
+            # 3D 1M 1,086.9 -> 994.7 ms/step with the variadic-sort
+            # compacted lanes, but 3D 64K 15.2 -> 18.5 and 256K
+            # 238.2 -> 283.9 — the 4x grid overhead beats the saving
+            # at dcm=32 scales even with zero-cost extension tables
             and direct_cell_max >= 128
         )
     elif split_eval and (gs % 4 or n_sub % 4):

@@ -753,16 +753,21 @@ def _evaluate_pallas_runs_split(
     elen_q = []
     for q in range(4):
         use = (dc > 0) & (((bits >> q) & 1) == 0)  # [G, E] bool
-        order = jnp.argsort(~use, axis=1, stable=True)  # used first
-        use_s = jnp.take_along_axis(use, order, axis=1)
-        rows = [
-            jnp.take_along_axis(c, order, axis=1)[:, None, :]
-            for c in quarters["com"]
-        ]
-        rows.append(
-            jnp.where(use_s, jnp.take_along_axis(gm_all, order, axis=1),
-                      jnp.asarray(0.0, f32))[:, None, :]
+        # ONE variadic key-value sort per quarter: the COM/gm payloads
+        # ride the sort itself.  The obvious argsort + take_along_axis
+        # spelling costs ~41 ms/step at 3D 64K on TPU (the 20 per-row
+        # gathers, measured via the zeroext/nosort bisect, PERF.md
+        # round 4) — the fused variadic sort does the same compaction
+        # for ~1 ms
+        sorted_ops = jax.lax.sort(
+            (~use,)
+            + tuple(quarters["com"])
+            + (jnp.where(use, gm_all, jnp.asarray(0.0, f32)),),
+            dimension=1,
+            num_keys=1,
+            is_stable=True,
         )
+        rows = [c[:, None, :] for c in sorted_ops[1:]]
         rows.append(jnp.zeros((gg, 8 - dims - 1, e_raw), f32))
         ext_q.append(jnp.concatenate(rows, axis=1))  # [G, 8, E_raw]
         elen_q.append(jnp.sum(use, axis=1).astype(jnp.int32))  # [G]
@@ -1201,10 +1206,11 @@ def grouped_eval(
             and gs >= 512
             and n_sub % 4 == 0
             # the union-factor cut only pays off against the huge
-            # dcm>=128 near fields (same-session A/B, PERF.md): 3D 1M
-            # 1,449 -> 960 ms/step, but 3D 256K 251 -> 348 and 2D 64K
-            # 4.7 -> 6.4 — the always-streamed extension section and
-            # the 4x grid overhead beat the saving at dcm=32 scales
+            # dcm>=128 near fields (same-session A/Bs, PERF.md round 4):
+            # 3D 1M 1,086.9 -> 994.7 ms/step with the variadic-sort
+            # compacted lanes, but 3D 64K 15.2 -> 18.5 and 256K
+            # 238.2 -> 283.9 — the 4x grid overhead beats the saving
+            # at dcm=32 scales even with zero-cost extension tables
             and direct_cell_max >= 128
         )
     elif split_eval and (gs % 4 or n_sub % 4):

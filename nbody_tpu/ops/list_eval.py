@@ -616,6 +616,7 @@ def _runs_split_kernel(
     n_s_tiles,
     e_tiles,  # extension tiles per quarter (static: ceil(E / k_tile))
     dims,
+    cache_approx,
 ):
     """Quarter-split variant of :func:`_runs_kernel`: grid step = one
     QUARTER of a group.  Three source sections: the group's shared
@@ -638,40 +639,49 @@ def _runs_split_kernel(
     tdma = pltpu.make_async_copy(tiles_hbm.at[i], tbl_ref, tsem_ref)
     tdma.start()
 
-    # group approx cache: one HBM load per GROUP (grid steps are
-    # sequential, scratch persists across them), occupied tiles only
-    @pl.when((qi == 0) & (a_t > 0))
-    def _load_approx():
-        def _start(t, _):
-            pltpu.make_async_copy(
-                approx_hbm.at[gi, :, pl.ds(t * kt, k_tile)],
-                appx_ref.at[:, pl.ds(t * kt, k_tile)],
-                asem_ref,
-            ).start()
-            return 0
+    if cache_approx:
+        # group approx cache: one HBM load per GROUP (grid steps are
+        # sequential, scratch persists across them), occupied tiles only
+        @pl.when((qi == 0) & (a_t > 0))
+        def _load_approx():
+            def _start(t, _):
+                pltpu.make_async_copy(
+                    approx_hbm.at[gi, :, pl.ds(t * kt, k_tile)],
+                    appx_ref.at[:, pl.ds(t * kt, k_tile)],
+                    asem_ref,
+                ).start()
+                return 0
 
-        jax.lax.fori_loop(0, a_t, _start, 0)
+            jax.lax.fori_loop(0, a_t, _start, 0)
 
-        def _wait(t, _):
-            pltpu.make_async_copy(
-                approx_hbm.at[gi, :, pl.ds(t * kt, k_tile)],
-                appx_ref.at[:, pl.ds(t * kt, k_tile)],
-                asem_ref,
-            ).wait()
-            return 0
+            def _wait(t, _):
+                pltpu.make_async_copy(
+                    approx_hbm.at[gi, :, pl.ds(t * kt, k_tile)],
+                    appx_ref.at[:, pl.ds(t * kt, k_tile)],
+                    asem_ref,
+                ).wait()
+                return 0
 
-        jax.lax.fori_loop(0, a_t, _wait, 0)
+            jax.lax.fori_loop(0, a_t, _wait, 0)
 
     tdma.wait()
+    approx_src = appx_ref if cache_approx else None
 
     def start_or_wait(slot, t, start):
         @pl.when(t < a_t)
         def _approx():
-            c = pltpu.make_async_copy(
-                appx_ref.at[:, pl.ds(t * kt, k_tile)],
-                buf_ref.at[slot],
-                sem_ref.at[slot],
-            )
+            if cache_approx:
+                c = pltpu.make_async_copy(
+                    approx_src.at[:, pl.ds(t * kt, k_tile)],
+                    buf_ref.at[slot],
+                    sem_ref.at[slot],
+                )
+            else:
+                c = pltpu.make_async_copy(
+                    approx_hbm.at[gi, :, pl.ds(t * kt, k_tile)],
+                    buf_ref.at[slot],
+                    sem_ref.at[slot],
+                )
             c.start() if start else c.wait()
 
         @pl.when((t >= a_t) & (t < a_t + e_t))
@@ -745,7 +755,9 @@ def _runs_split_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softening", "k_tile", "s_tile", "interpret"),
+    static_argnames=(
+        "softening", "k_tile", "s_tile", "interpret", "cache_approx"
+    ),
 )
 def list_eval_runs_split(
     targets: jax.Array,  # [G, S, D] group body positions
@@ -763,6 +775,7 @@ def list_eval_runs_split(
     k_tile: int = 512,
     s_tile: int = 512,
     interpret: bool = False,
+    cache_approx: bool = True,
 ) -> jax.Array:
     """Quarter-split gather-free list evaluation (see _runs_split_kernel).
 
@@ -798,7 +811,7 @@ def list_eval_runs_split(
         approx = jnp.pad(
             approx, ((0, 0), (0, 0), (0, k_tile - a % k_tile))
         )
-    if approx.shape[2] * 8 * 4 > 4 * 1024 * 1024:
+    if cache_approx and approx.shape[2] * 8 * 4 > 4 * 1024 * 1024:
         raise ValueError(
             f"approx width {approx.shape[2]} overflows the 4 MiB VMEM "
             "group-cache budget; lower list_cap or eval_k_tile"
@@ -837,7 +850,10 @@ def list_eval_runs_split(
         scratch_shapes=[
             pltpu.VMEM((sq, 8), jnp.float32),
             pltpu.VMEM((2, 8, k_tile), jnp.float32),
-            pltpu.VMEM((8, approx.shape[2]), jnp.float32),
+            pltpu.VMEM(
+                (8, approx.shape[2] if cache_approx else k_tile),
+                jnp.float32,
+            ),
             pltpu.SMEM((4, t_cap), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
@@ -854,6 +870,7 @@ def list_eval_runs_split(
             n_s_tiles=n_s_tiles,
             e_tiles=e_tiles,
             dims=dims,
+            cache_approx=cache_approx,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g, s, 8), jnp.float32),
