@@ -1206,12 +1206,14 @@ def grouped_eval(
             and gs >= 512
             and n_sub % 4 == 0
             # the union-factor cut only pays off against the huge
-            # dcm>=128 near fields (same-session A/Bs, PERF.md round 4):
-            # 3D 1M 1,086.9 -> 994.7 ms/step with the variadic-sort
-            # compacted lanes, but 3D 64K 15.2 -> 18.5 and 256K
-            # 238.2 -> 283.9 — the 4x grid overhead beats the saving
-            # at dcm=32 scales even with zero-cost extension tables
+            # near fields of ~1M-body clouds (same-session A/Bs, PERF.md
+            # round 4): 3D 1M 1,086.9 -> 994.7 ms/step with the
+            # variadic-sort compacted lanes, but 64K 15.2 -> 18.5, 256K
+            # 238.2 -> 283.9 and even 512K (dcm=128's lower edge)
+            # 408.9 -> 429.1 — the 4x grid overhead beats the saving
+            # below ~3/4M bodies even with zero-cost extension tables
             and direct_cell_max >= 128
+            and (n_sources_hint or sorted_x.shape[0]) >= 768 * 1024
         )
     elif split_eval and (gs % 4 or n_sub % 4):
         raise ValueError(
