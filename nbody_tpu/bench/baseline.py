@@ -391,6 +391,14 @@ def _config45_fake_mesh(weak: bool):
         ).strip()
     # keep the fake-mesh run tractable: all 8 "devices" share one host
     env.setdefault("NBODY_BASELINE_SCALE", "32")
+    # the child must resolve nbody_tpu independent of the parent's cwd
+    # (same fix as sweeps._bootstrap_fake_mesh)
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env["PYTHONPATH"] = os.pathsep.join(
+        [pkg_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "import json\n"

@@ -128,6 +128,15 @@ def _bootstrap_fake_mesh(args, n_devices: int) -> int:
         flags + f" --xla_force_host_platform_device_count={n_devices}"
     ).strip()
     env[_BOOTSTRAP_ENV] = "1"
+    # the child must resolve nbody_tpu the same way the parent did —
+    # the parent's cwd/sys.path don't transfer (a sweep launched from
+    # any other directory failed the re-exec with ModuleNotFoundError)
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env["PYTHONPATH"] = os.pathsep.join(
+        [pkg_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "import sys\n"
