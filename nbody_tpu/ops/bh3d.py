@@ -25,6 +25,7 @@ and the d2 > 0 guard drops it (see ops/tree3d.leaf_raw_3d).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -240,112 +241,188 @@ def _collect_lists_3d(
     dir_b, dir_x, dir_y, dir_z, dir_m = [], [], [], [], []
 
     for level in range(max_depth + 1):
-        valid = frontier >= 0
-        idx = jnp.where(valid, frontier, 0)
-        rows = tree.raw[level][idx]  # [G, F, 16] — the one gather
-        m = rows[..., R3_M]
-        cnt = rows[..., R3_CNT]
-        one = jnp.asarray(1.0, f32)
-        safe = jnp.where(m > 0, m, one)
-        cx = jnp.where(cnt == one, rows[..., R3_SX], rows[..., R3_MX] / safe)
-        cy = jnp.where(cnt == one, rows[..., R3_SY], rows[..., R3_MY] / safe)
-        cz = jnp.where(cnt == one, rows[..., R3_SZ], rows[..., R3_MZ] / safe)
+        is_last = level == max_depth
+        fcap_l = fcap
+        next_cap = (
+            None if is_last else min(8 * fcap, frontier_caps[level + 1])
+        )
+        nf_width = (
+            None
+            if is_last
+            else (8 * fcap if next_cap == 8 * fcap else next_cap)
+        )
 
-        # distance from each sub-bbox to the cell COM (0 if inside)
-        cxe, cye, cze = cx[:, None, :], cy[:, None, :], cz[:, None, :]
-        dx = jnp.maximum(
-            jnp.maximum(x0[:, :, None] - cxe, cxe - x1[:, :, None]), 0.0
-        )  # [G, Q, F]
-        dy = jnp.maximum(
-            jnp.maximum(y0[:, :, None] - cye, cye - y1[:, :, None]), 0.0
-        )
-        dz = jnp.maximum(
-            jnp.maximum(z0[:, :, None] - cze, cze - z1[:, :, None]), 0.0
-        )
-        dall = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # [G, Q, F]
-        soft = jnp.asarray(softening, f32)
-        d_min = jnp.min(dall, axis=1) + soft  # [G, F]
-        size = level_cell_size_3d(tree.bounds, level).astype(f32)
-        theta_ok = size < theta * d_min
-
-        nonempty = valid & (cnt > 0) & (m > MASS_SKIP_THRESHOLD)
-        single = nonempty & (cnt == one)
-        multi = nonempty & (cnt > one)
-        approx = single | (multi & (theta_ok | (level == max_depth)))
-        direct = (
-            multi
-            & ~theta_ok
-            & (level != max_depth)
-            & (cnt <= direct_cell_max)
-        )
-        if window_cells is not None:
-            c_lo, c_hi = window_cells
-            shift_w = 3 * (max_depth - level)
-            in_win = ((idx << shift_w) >= c_lo) & (
-                ((idx + 1) << shift_w) <= c_hi + 1
+        def _level(frontier, level=level, is_last=is_last,
+                   fcap_l=fcap_l, next_cap=next_cap):
+            valid = frontier >= 0
+            idx = jnp.where(valid, frontier, 0)
+            rows = tree.raw[level][idx]  # [G, F, 16] — the one gather
+            m = rows[..., R3_M]
+            cnt = rows[..., R3_CNT]
+            one = jnp.asarray(1.0, f32)
+            safe = jnp.where(m > 0, m, one)
+            cx = jnp.where(
+                cnt == one, rows[..., R3_SX], rows[..., R3_MX] / safe
             )
-            direct = direct & in_win
-
-        app_x.append(cx)
-        app_y.append(cy)
-        app_z.append(cz)
-        app_m.append(jnp.where(approx, m, 0.0))
-        app_mask.append(approx)
-
-        shift = 3 * (max_depth - level)
-        dir_s.append(idx << shift)
-        dir_c.append(jnp.where(direct, cnt.astype(jnp.int32), 0))
-        dir_mask.append(direct)
-        if quarter_bits:
-            # per-quarter theta verdicts (quarter q = Morton sub-bboxes
-            # [qQ/4, (q+1)Q/4)); direct implies >= 1 bit set
-            qn = dall.shape[1] // 4
-            dq = (
-                jnp.min(dall.reshape(g, 4, qn, -1), axis=2) + soft
-            )  # [G, 4, F]
-            fail_q = size >= theta * dq
-            bits = jnp.sum(
-                jnp.where(
-                    fail_q,
-                    jnp.asarray([1, 2, 4, 8], jnp.int32)[None, :, None],
-                    0,
-                ),
-                axis=1,
-                dtype=jnp.int32,
+            cy = jnp.where(
+                cnt == one, rows[..., R3_SY], rows[..., R3_MY] / safe
             )
-            dir_b.append(jnp.where(direct, bits, 0))
-            dir_x.append(cx)
-            dir_y.append(cy)
-            dir_z.append(cz)
-            dir_m.append(jnp.where(direct, m, 0.0))
+            cz = jnp.where(
+                cnt == one, rows[..., R3_SZ], rows[..., R3_MZ] / safe
+            )
 
-        if level == max_depth:
-            break
+            # distance from each sub-bbox to the cell COM (0 if inside)
+            cxe, cye, cze = cx[:, None, :], cy[:, None, :], cz[:, None, :]
+            dx = jnp.maximum(
+                jnp.maximum(x0[:, :, None] - cxe, cxe - x1[:, :, None]),
+                0.0,
+            )  # [G, Q, F]
+            dy = jnp.maximum(
+                jnp.maximum(y0[:, :, None] - cye, cye - y1[:, :, None]),
+                0.0,
+            )
+            dz = jnp.maximum(
+                jnp.maximum(z0[:, :, None] - cze, cze - z1[:, :, None]),
+                0.0,
+            )
+            dall = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # [G, Q, F]
+            soft = jnp.asarray(softening, f32)
+            d_min = jnp.min(dall, axis=1) + soft  # [G, F]
+            size = level_cell_size_3d(tree.bounds, level).astype(f32)
+            theta_ok = size < theta * d_min
 
-        open_ = multi & ~theta_ok & ~direct
-        children = (
-            idx[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)
-        ).reshape(g, -1)
-        occ = rows[..., R3_OCC].astype(jnp.int32)
-        child_bits = (
-            (occ[:, :, None] >> jnp.arange(8, dtype=jnp.int32)) & 1
-        ).reshape(g, -1)
-        cmask = jnp.repeat(open_, 8, axis=1) & (child_bits > 0)
+            nonempty = valid & (cnt > 0) & (m > MASS_SKIP_THRESHOLD)
+            single = nonempty & (cnt == one)
+            multi = nonempty & (cnt > one)
+            approx = single | (multi & (theta_ok | is_last))
+            direct = (
+                multi
+                & ~theta_ok
+                & (not is_last)
+                & (cnt <= direct_cell_max)
+            )
+            if window_cells is not None:
+                c_lo, c_hi = window_cells
+                shift_w = 3 * (max_depth - level)
+                in_win = ((idx << shift_w) >= c_lo) & (
+                    ((idx + 1) << shift_w) <= c_hi + 1
+                )
+                direct = direct & in_win
 
-        if return_demand:
-            demand.append(jnp.max(jnp.sum(cmask, axis=1)))
+            shift = 3 * (max_depth - level)
+            outs = [
+                cx, cy, cz,
+                jnp.where(approx, m, 0.0),
+                approx,
+                idx << shift,
+                jnp.where(direct, cnt.astype(jnp.int32), 0),
+                direct,
+            ]
+            if quarter_bits:
+                # per-quarter theta verdicts (quarter q = Morton sub-
+                # bboxes [qQ/4, (q+1)Q/4)); direct implies >= 1 bit set
+                qn = dall.shape[1] // 4
+                dq = (
+                    jnp.min(dall.reshape(g, 4, qn, -1), axis=2) + soft
+                )  # [G, 4, F]
+                fail_q = size >= theta * dq
+                bits = jnp.sum(
+                    jnp.where(
+                        fail_q,
+                        jnp.asarray([1, 2, 4, 8], jnp.int32)[
+                            None, :, None
+                        ],
+                        0,
+                    ),
+                    axis=1,
+                    dtype=jnp.int32,
+                )
+                outs += [
+                    jnp.where(direct, bits, 0),
+                    cx, cy, cz,
+                    jnp.where(direct, m, 0.0),
+                ]
 
-        next_cap = min(8 * fcap, frontier_caps[level + 1])
-        if next_cap == 8 * fcap:
-            # non-binding cap: skip the cosmetic compaction sort (see
-            # the 2D mirror)
-            frontier = jnp.where(cmask, children, -1)
+            if is_last:
+                return tuple(outs)
+
+            open_ = multi & ~theta_ok & ~direct
+            children = (
+                idx[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)
+            ).reshape(g, -1)
+            occ = rows[..., R3_OCC].astype(jnp.int32)
+            child_bits = (
+                (occ[:, :, None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+            ).reshape(g, -1)
+            cmask = jnp.repeat(open_, 8, axis=1) & (child_bits > 0)
+
+            if return_demand:
+                outs.append(jnp.max(jnp.sum(cmask, axis=1)))
+
+            if next_cap == 8 * fcap_l:
+                # non-binding cap: skip the cosmetic compaction sort
+                # (see the 2D mirror)
+                nf = jnp.where(cmask, children, -1)
+                ovf = jnp.zeros((g,), bool)
+            else:
+                (nf,), ovf = _sort_compact(
+                    cmask, [jnp.where(cmask, children, -1)], next_cap
+                )
+            return tuple(outs) + (nf, ovf)
+
+        def _dead(frontier, is_last=is_last, fcap_l=fcap_l,
+                  nf_width=nf_width):
+            zf = jnp.zeros((g, fcap_l), f32)
+            zi = jnp.zeros((g, fcap_l), jnp.int32)
+            zb = jnp.zeros((g, fcap_l), bool)
+            outs = [zf, zf, zf, zf, zb, zi, zi, zb]
+            if quarter_bits:
+                outs += [zi, zf, zf, zf, zf]
+            if is_last:
+                return tuple(outs)
+            return tuple(outs) + (
+                jnp.full((g, nf_width), -1, jnp.int32),
+                jnp.zeros((g,), bool),
+            )
+
+        # a frontier that died out (uniform 256K: levels 6-7 carry 8 and
+        # 0 cells against a 16,384 cap — the schedule's collapsed-state
+        # tail) skips its gather + theta math at runtime; static shapes
+        # and caps are unchanged, so the worst case still fits.
+        # NBODY_DEAD_LEVEL_SKIP=0 (read at trace time) disables the
+        # lax.cond wrapper for same-invocation A/B measurement.
+        if (
+            fcap_l >= 1024
+            and not return_demand
+            and os.environ.get("NBODY_DEAD_LEVEL_SKIP", "1") != "0"
+        ):
+            res = jax.lax.cond(
+                jnp.any(frontier >= 0), _level, _dead, frontier
+            )
         else:
-            (nf,), ovf = _sort_compact(
-                cmask, [jnp.where(cmask, children, -1)], next_cap
-            )
-            overflow = overflow | ovf
-            frontier = nf
+            res = _level(frontier)
+
+        res = list(res)
+        app_x.append(res.pop(0))
+        app_y.append(res.pop(0))
+        app_z.append(res.pop(0))
+        app_m.append(res.pop(0))
+        app_mask.append(res.pop(0))
+        dir_s.append(res.pop(0))
+        dir_c.append(res.pop(0))
+        dir_mask.append(res.pop(0))
+        if quarter_bits:
+            dir_b.append(res.pop(0))
+            dir_x.append(res.pop(0))
+            dir_y.append(res.pop(0))
+            dir_z.append(res.pop(0))
+            dir_m.append(res.pop(0))
+        if is_last:
+            break
+        if return_demand:
+            demand.append(res.pop(0))
+        frontier = res.pop(0)
+        overflow = overflow | res.pop(0)
         fcap = next_cap
 
     (lx, ly, lz, lm), ovf_a = _sort_compact(

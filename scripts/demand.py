@@ -94,6 +94,25 @@ def run(n, dims, init="uniform", gs=2048, theta=0.5, dcm=None, fmul=2,
         direct_cap=4096, direct_cell_max=dcm, return_demand=True,
     )
     stats = out[3]
+    # merged-run demand: the runs evaluator merges the per-cell body
+    # ranges into contiguous runs (bh_grouped.merge_ranges) bounded by
+    # run_cap — count the post-merge runs per group here (numpy,
+    # exact) so run_cap is calibrated like every other cap
+    ranges = np.asarray(out[1])  # [G, D, 2] (start, count), 0-padded
+    run_demand = 0
+    for gi in range(ranges.shape[0]):
+        rg = ranges[gi]
+        rg = rg[rg[:, 1] > 0]
+        if not len(rg):
+            continue
+        rg = rg[np.argsort(rg[:, 0])]
+        ends = rg[:, 0] + rg[:, 1]
+        # a new run starts where the interval doesn't touch the
+        # running max end of everything before it
+        prev_end = np.maximum.accumulate(ends)[:-1]
+        run_demand = max(
+            run_demand, int(1 + np.sum(rg[1:, 0] > prev_end))
+        )
     fr = np.asarray(stats["frontier"])
     truncated = [
         lv + 1
@@ -106,7 +125,8 @@ def run(n, dims, init="uniform", gs=2048, theta=0.5, dcm=None, fmul=2,
         f"  engine schedule:                    {list(sched)}\n"
         f"  frontier demand entering levels 1..{md}: {fr.tolist()}\n"
         f"  approx max/group: {int(stats['approx'])}   "
-        f"direct max/group: {int(stats['direct'])}"
+        f"direct max/group: {int(stats['direct'])}   "
+        f"merged runs max/group: {run_demand}"
         + (
             f"\n  WARNING: demand TRUNCATED at levels {truncated} — "
             "re-run with a larger fmul"

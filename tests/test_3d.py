@@ -123,6 +123,34 @@ def test_grouped3_vs_dense(cloud3):
     assert np.quantile(rel, 0.99) < 5e-3
 
 
+def test_grouped3_dead_level_skip_equivalence(cloud3, monkeypatch):
+    """The lax.cond dead-level runtime skip (bh3d._collect_lists_3d) is
+    bit-exact vs the straight-line walk.  frontier_cap=2048 activates
+    the >=1024-lane gate at this small N; NBODY_DEAD_LEVEL_SKIP=0 is
+    the same-trace escape hatch (read at trace time, so the module is
+    reloaded per setting)."""
+    import importlib
+
+    import nbody_tpu.ops.bh3d as bh3d
+
+    pos, m, _, _ = cloud3
+    out = {}
+    try:
+        for skip in ("1", "0"):
+            monkeypatch.setenv("NBODY_DEAD_LEVEL_SKIP", skip)
+            importlib.reload(bh3d)
+            a, ovf = bh3d.bh3_accelerations_grouped(
+                pos, m, g=G, theta=0.5, frontier_cap=2048,
+                return_diagnostics=True,
+            )
+            assert int(np.asarray(ovf).sum()) == 0
+            out[skip] = np.asarray(a)
+    finally:
+        monkeypatch.delenv("NBODY_DEAD_LEVEL_SKIP", raising=False)
+        importlib.reload(bh3d)
+    assert np.array_equal(out["1"], out["0"])
+
+
 def test_grouped3_theta_zero_converges(cloud3):
     from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
 
