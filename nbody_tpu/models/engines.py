@@ -41,6 +41,11 @@ def resolved_caps(config: SimConfig) -> dict:
         list_cap=config.list_cap or d["list_cap"],
         direct_cap=config.direct_cap or d["direct_cap"],
         direct_body_cap=config.direct_body_cap or d["direct_body_cap"],
+        # the runs evaluator's merged-run cap is a traversal cap too:
+        # without it here the 4x adaptive retry could not clear a
+        # run-cap overflow (the 3D 256K-blobs failure mode — measured
+        # demand 516 vs the old flat 512)
+        run_cap=config.run_cap or d["run_cap"],
     )
 
 

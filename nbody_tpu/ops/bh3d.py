@@ -120,7 +120,27 @@ def cap_defaults_3d(n_bodies: int) -> dict:
         # collapsed (measured); 20*peak = 655,360 there
         direct_body_cap=max(32768, (12 if dcm <= 32 else 20) * peak),
         frontier_cap=peak,
+        run_cap=run_cap_default_3d(n_bodies),
     )
+
+
+def run_cap_default_3d(n_bodies: int) -> int:
+    """Merged-run cap for the runs evaluator (max contiguous Morton
+    runs per group after interval-union, bh_grouped.merge_ranges).
+
+    scripts/demand.py merged-run calibration (gs=2048, theta=0.5,
+    uniform / two-blob collapsed): 64K 145/95, 256K 315/516,
+    512K (dcm=128) 257/377, 1M (dcm=128) 291/240.  dcm=32 demand grows
+    ~linearly with N and blobs dominate; the 256K blob peak (516)
+    overflowed the old flat 512 by one group.  Linear-in-N with
+    >=1.45x headroom, 128-multiple (the merged-ranges sort width stays
+    small and static), floor 256.  The dcm=128 walk terminates at
+    fatter cells that union into fewer runs and demand plateaus
+    (512K peak 377); flat 640 keeps >=1.7x headroom and only widens
+    the XLA-side merge intermediate, never the Pallas inner loop."""
+    if direct_cell_max_default(n_bodies) >= 128:
+        return 640
+    return max(256, -(-(768 * n_bodies // 262144) // 128) * 128)
 
 
 def frontier_schedule_3d(
@@ -975,7 +995,7 @@ def grouped_eval_3d(
         # padded per-group source tables this file's chunked evaluator
         # exists to bound are never materialised at all.
         lx, ly, lz, lm = lists
-        rc = run_cap or 512
+        rc = run_cap or defaults["run_cap"]
         if split_eval:
             acc_r, ovf_e = _evaluate_pallas_runs_split(
                 pg,

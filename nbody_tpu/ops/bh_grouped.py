@@ -109,6 +109,11 @@ def cap_defaults(group_size: int, n_bodies: int) -> dict:
         ),
         direct_body_cap=max(24576, 16 * peak),
         frontier_cap=peak,
+        # merged-run cap for the runs evaluator: measured merged-run
+        # demand (scripts/demand.py) 64K 39/75, 1M 166/98 uniform/blobs
+        # — 2D near fields union into few runs at every scale; flat 256
+        # keeps >= 1.54x headroom at the 1M-uniform peak
+        run_cap=256,
     )
 
 
@@ -1273,7 +1278,7 @@ def grouped_eval(
         # into Morton runs and stream their k-tiles straight from the
         # transposed sorted table (no superblock gather, no padded
         # per-group source materialisation) — see list_eval_runs.
-        rc = run_cap or 256
+        rc = run_cap or defaults["run_cap"]
         if split_eval:
             acc_r, ovf_e = _evaluate_pallas_runs_split(
                 pg,

@@ -477,6 +477,14 @@ def test_frontier_schedule_3d_covers_measured_demand():
     # demand entering levels 1..max_depth, max over groups (gs=2048,
     # theta=0.5; see frontier_schedule_3d docstring)
     measured = {
+        65536: [
+            [8, 64, 512, 2364, 1493, 0],           # uniform
+            [4, 24, 55, 114, 452, 1540],           # blobs
+        ],
+        262144: [
+            [8, 64, 512, 1990, 9763, 8, 0],
+            [7, 27, 94, 412, 1794, 5573, 13600],
+        ],
         524288: [
             [8, 64, 512, 1650, 9160, 0, 0],        # uniform
             [8, 31, 67, 267, 1139, 4216, 9960],    # blobs
@@ -486,6 +494,10 @@ def test_frontier_schedule_3d_covers_measured_demand():
             [8, 39, 108, 215, 965, 3672, 9608],
         ],
     }
+    # merged-run demand max/group (same calibration runs, post
+    # interval-union — bounds the runs evaluator's run_cap); the 256K
+    # blob peak 516 overflowed the old flat 512 default by one group
+    run_demand = {65536: 145, 262144: 516, 524288: 377, 1048576: 291}
     for n, profiles in measured.items():
         md = default_max_depth3(n)
         caps = cap_defaults_3d(n)
@@ -494,9 +506,14 @@ def test_frontier_schedule_3d_covers_measured_demand():
             assert len(prof) == md
             for level, demand in enumerate(prof, start=1):
                 assert demand <= sched[level], (n, level, demand, sched)
-        # per-group approx/direct maxima (same calibration runs)
-        assert caps["list_cap"] >= 10467 * 1.3  # 512K blobs, 1.3x floor
-        assert caps["direct_cap"] >= 6368  # 512K dcm=64 probe bound
+        if n >= 524288:
+            # per-group approx/direct maxima (same calibration runs;
+            # the probes behind these literals are 512K+-specific)
+            assert caps["list_cap"] >= 10467 * 1.3  # 512K blobs, 1.3x
+            assert caps["direct_cap"] >= 6368  # 512K dcm=64 probe bound
+        assert caps["run_cap"] >= run_demand[n] * 1.4, (
+            n, caps["run_cap"], run_demand[n],
+        )
 
 
 def test_frontier_schedule_2d_covers_measured_demand():
@@ -512,14 +529,14 @@ def test_frontier_schedule_2d_covers_measured_demand():
                 [4, 16, 64, 122, 276, 722, 56, 0, 0],      # uniform
                 [4, 12, 36, 44, 112, 304, 780, 1468, 60],  # blobs
             ],
-            approx=566, direct=2018,
+            approx=566, direct=2018, runs=75,
         ),
         1048576: dict(
             frontier=[
                 [4, 16, 64, 112, 224, 448, 1024, 2646, 224],
                 [4, 12, 37, 71, 139, 320, 816, 2104, 5104],
             ],
-            approx=5750, direct=1743,
+            approx=5750, direct=1743, runs=166,
         ),
     }
     md = 9
@@ -536,3 +553,4 @@ def test_frontier_schedule_2d_covers_measured_demand():
                 assert need <= sched[level], (n, level, demand, sched)
         assert caps["list_cap"] >= m["approx"] * 1.3, n
         assert caps["direct_cap"] >= m["direct"] * 1.2, n
+        assert caps["run_cap"] >= m["runs"] * 1.4, n
