@@ -305,9 +305,13 @@ def _collect_lists_3d(
                 jnp.maximum(z0[:, :, None] - cze, cze - z1[:, :, None]),
                 0.0,
             )
-            dall = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # [G, Q, F]
+            d2all = dx * dx + dy * dy + dz * dz  # [G, Q, F]
             soft = jnp.asarray(softening, f32)
-            d_min = jnp.min(dall, axis=1) + soft  # [G, F]
+            # sqrt AFTER the min over sub-bboxes: bit-identical (sqrt is
+            # monotone and correctly rounded per element) at 1/Q of the
+            # sqrt volume — the [G, Q, F] tensors are the collect
+            # phase's largest
+            d_min = jnp.sqrt(jnp.min(d2all, axis=1)) + soft  # [G, F]
             size = level_cell_size_3d(tree.bounds, level).astype(f32)
             theta_ok = size < theta * d_min
 
@@ -341,9 +345,10 @@ def _collect_lists_3d(
             if quarter_bits:
                 # per-quarter theta verdicts (quarter q = Morton sub-
                 # bboxes [qQ/4, (q+1)Q/4)); direct implies >= 1 bit set
-                qn = dall.shape[1] // 4
+                qn = d2all.shape[1] // 4
                 dq = (
-                    jnp.min(dall.reshape(g, 4, qn, -1), axis=2) + soft
+                    jnp.sqrt(jnp.min(d2all.reshape(g, 4, qn, -1), axis=2))
+                    + soft
                 )  # [G, 4, F]
                 fail_q = size >= theta * dq
                 bits = jnp.sum(
@@ -756,6 +761,7 @@ def _evaluate_3d(
         "eval_mode",
         "run_cap",
         "split_eval",
+        "seg_pack",
     ),
 )
 def bh3_accelerations_grouped(
@@ -782,6 +788,7 @@ def bh3_accelerations_grouped(
     eval_mode: str | None = None,
     run_cap: int | None = None,
     split_eval: bool | None = None,
+    seg_pack: int | None = None,
 ):
     """Grouped 3D Barnes-Hut accelerations [N, 3] (+ overflow [N]).
 
@@ -829,6 +836,7 @@ def bh3_accelerations_grouped(
         eval_mode=eval_mode,
         run_cap=run_cap,
         split_eval=split_eval,
+        seg_pack=seg_pack,
     )
 
 
@@ -858,6 +866,7 @@ def grouped_eval_3d(
     eval_mode: str | None = None,
     run_cap: int | None = None,
     split_eval: bool | None = None,
+    seg_pack: int | None = None,
     window_cells=None,
     range_offset=None,
     n_sources_hint: int | None = None,
@@ -996,6 +1005,33 @@ def grouped_eval_3d(
         # exists to bound are never materialised at all.
         lx, ly, lz, lm = lists
         rc = run_cap or defaults["run_cap"]
+        if seg_pack is None:
+            # short-run occupancy fix: dcm=32 runs average ~150 bodies
+            # against 512-lane tiles (24% occupancy measured at 256K,
+            # 10% blobs); packing four 128-lane segments per step keeps
+            # full-tile amortisation at segment occupancy (~56%).
+            # Measured same-invocation at 256K uniform: 230.1 -> 180.2
+            # ms/step.  Short-run states route back to plain tiles at
+            # runtime (the mean-run-length cond in
+            # bh_grouped._evaluate_pallas_runs), so requesting packing
+            # is distribution-safe.  dcm=128 scales keep it off pending
+            # a 512K/1M A/B (their runs are long; plain tiles are
+            # already well occupied).
+            env = os.environ.get("NBODY_SEG_PACK")
+            if env is not None:
+                seg_pack = int(env)
+            else:
+                # N-gate: at 64K the step is 13-15 ms and the second
+                # expand pass + cond overhead exceeds the eval lanes
+                # saved (measured 13.34 plain vs 14.29 packed / 14.95
+                # gated); the win opens at 256K-class steps
+                seg_pack = (
+                    4
+                    if direct_cell_max <= 64 and n_eff >= 131072
+                    else 1
+                )
+        if seg_pack > 1 and eval_k_tile % (128 * seg_pack):
+            seg_pack = 1
         if split_eval:
             acc_r, ovf_e = _evaluate_pallas_runs_split(
                 pg,
@@ -1024,6 +1060,7 @@ def grouped_eval_3d(
                 k_tile=eval_k_tile,
                 run_cap=rc,
                 t_cap=direct_body_cap // eval_k_tile + 2 * rc,
+                seg_pack=seg_pack,
             )
         overflow_g = overflow_g | ovf_e
         ax, ay, az = acc_r[:, :, 0], acc_r[:, :, 1], acc_r[:, :, 2]

@@ -36,6 +36,7 @@ and the acceptance identical to the reference traversal.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -298,9 +299,11 @@ def _collect_lists(
         dy = jnp.maximum(
             jnp.maximum(y0[:, :, None] - cye, cye - y1[:, :, None]), 0.0
         )
-        dall = jnp.sqrt(dx * dx + dy * dy)  # [G, Q, F]
+        d2all = dx * dx + dy * dy  # [G, Q, F]
         soft = jnp.asarray(softening, f32)
-        d_min = jnp.min(dall, axis=1) + soft  # [G, F]
+        # sqrt AFTER the min over sub-bboxes: bit-identical (sqrt is
+        # monotone, correctly rounded) at 1/Q of the sqrt volume
+        d_min = jnp.sqrt(jnp.min(d2all, axis=1)) + soft  # [G, F]
         size = level_cell_size(tree.bounds, level).astype(f32)
         theta_ok = size < theta * d_min
 
@@ -341,9 +344,10 @@ def _collect_lists(
             # 4q..4q+3): bit set where the cell is too close for that
             # quarter's own bodies; direct implies >= 1 bit set (the
             # binding sub-bbox lives in some quarter)
-            qn = dall.shape[1] // 4
+            qn = d2all.shape[1] // 4
             dq = (
-                jnp.min(dall.reshape(g, 4, qn, -1), axis=2) + soft
+                jnp.sqrt(jnp.min(d2all.reshape(g, 4, qn, -1), axis=2))
+                + soft
             )  # [G, 4, F]
             fail_q = size >= theta * dq
             bits = jnp.sum(
@@ -563,6 +567,14 @@ def _evaluate_pallas(
 
 _SB = 8  # bodies per superblock (one packed gather row)
 
+# Runtime gate for segment-packed runs evaluation: mean merged-run
+# length (lanes) above which packing P segments per kernel step beats
+# plain whole-tile streaming.  Measured boundary: uniform 3D 256K
+# (~160 lanes/run) wins 22%, two-blob collapsed (~50) loses 30% — a
+# run shorter than ~a segment makes DMA count ~= run count either way,
+# so packing only adds per-copy overhead.  See _evaluate_pallas_runs.
+SEG_PACK_MIN_RUN_LANES = 112.0
+
 
 def _expand_runs_tiles(runs: jax.Array, k_tile: int, t_cap: int):
     """Merged body runs -> per-group direct k-tile table for the
@@ -644,10 +656,14 @@ def _evaluate_pallas_runs(
     k_tile: int,
     run_cap: int,
     t_cap: int,
+    seg_pack: int = 1,
 ):
     """Gather-free evaluation: approx lists stream per group; direct
     sources stream straight from the transposed sorted table (see
-    ops/list_eval.list_eval_runs).  Returns (acc [G, S, D], overflow)."""
+    ops/list_eval.list_eval_runs).  ``seg_pack = P > 1`` expands runs at
+    (k_tile/P)-lane segment granularity and packs P segments per kernel
+    step (short-run occupancy fix, see list_eval_runs).  Returns
+    (acc [G, S, D], overflow)."""
     from .experiments import merge_ranges
     from .list_eval import list_eval_runs
 
@@ -671,7 +687,6 @@ def _evaluate_pallas_runs(
     )  # [G, 8, A]
 
     merged, ovf_m = merge_ranges(ranges, cap=run_cap)
-    tiles, n_tiles, ovf_t = _expand_runs_tiles(merged, k_tile, t_cap)
 
     ns = sorted_coords[0].shape[0]
     npad = ns + k_tile  # tail pad: any tile start < ns stays in bounds
@@ -679,18 +694,58 @@ def _evaluate_pallas_runs(
     for d_, c in enumerate(sorted_coords):
         srct = srct.at[d_, :ns].set(c)
     srct = srct.at[dims, :ns].set(sorted_gm)
+    a_lanes = jnp.sum(lmp > 0, axis=1).astype(jnp.int32)
+    tgtf = positions_grouped.astype(jnp.float32)
 
-    lens = jnp.stack(
-        [jnp.sum(lmp > 0, axis=1).astype(jnp.int32), n_tiles], axis=0
-    )  # [2, G]
-    acc = list_eval_runs(
-        positions_grouped.astype(jnp.float32),
-        approx,
-        srct,
-        tiles,
-        lens,
-        softening=float(softening),
-        k_tile=k_tile,
+    def _plain():
+        tiles, n_tiles, ovf_t = _expand_runs_tiles(merged, k_tile, t_cap)
+        lens = jnp.stack([a_lanes, n_tiles], axis=0)  # [2, G]
+        acc = list_eval_runs(
+            tgtf, approx, srct, tiles, lens,
+            softening=float(softening), k_tile=k_tile,
+        )
+        return acc, ovf_t
+
+    if seg_pack == 1:
+        acc, ovf_t = _plain()
+        return acc, ovf_m | ovf_t
+
+    # segment-granular table: same expansion machinery at width
+    # k_tile/P; the kernel packs P consecutive segments per step.
+    # Capacity: t_cap = direct_body_cap//k_tile + 2*run_cap, so the
+    # body-volume part scales by P (narrower strips) while the
+    # per-run +1 slack term doesn't — keeps the SMEM table tight.
+    def _packed():
+        seg_cap = max(
+            t_cap, (t_cap - 2 * run_cap) * seg_pack + 2 * run_cap
+        )
+        tiles, n_segs, ovf_t = _expand_runs_tiles(
+            merged, k_tile // seg_pack, seg_cap
+        )
+        n_tiles = (n_segs + seg_pack - 1) // seg_pack
+        lens = jnp.stack([a_lanes, n_tiles], axis=0)
+        acc = list_eval_runs(
+            tgtf, approx, srct, tiles, lens,
+            softening=float(softening), k_tile=k_tile,
+            seg_pack=seg_pack,
+        )
+        return acc, ovf_t
+
+    # Runtime packing gate (the statistic is data-dependent): packing
+    # pays when runs span whole segments — measured 3D 256K same
+    # invocation: uniform (mean run ~160 lanes) 230.1 -> 180.2 ms/step
+    # at P=4, but two-blob collapsed (mean run ~50 lanes, segments ~=
+    # runs) 188.5 -> 245.5 — there the per-DMA fixed cost of P small
+    # copies dominates the lanes saved.  Both branches compile once;
+    # XLA executes one.
+    counts = merged[:, :, 1]
+    tot = jnp.sum(counts)
+    n_runs = jnp.maximum(jnp.sum(counts > 0), 1)
+    mean_len = tot.astype(jnp.float32) / n_runs.astype(jnp.float32)
+    acc, ovf_t = jax.lax.cond(
+        mean_len >= SEG_PACK_MIN_RUN_LANES,
+        _packed,
+        _plain,
     )
     return acc, ovf_m | ovf_t
 
@@ -1009,6 +1064,7 @@ def _evaluate(
         "eval_mode",
         "run_cap",
         "split_eval",
+        "seg_pack",
     ),
 )
 def bh_accelerations_grouped(
@@ -1035,6 +1091,7 @@ def bh_accelerations_grouped(
     eval_mode: str | None = None,
     run_cap: int | None = None,
     split_eval: bool | None = None,
+    seg_pack: int | None = None,
 ):
     """Grouped Barnes-Hut accelerations [N, 2] (+ overflow [N] optional).
 
@@ -1079,6 +1136,7 @@ def bh_accelerations_grouped(
         eval_mode=eval_mode,
         run_cap=run_cap,
         split_eval=split_eval,
+        seg_pack=seg_pack,
     )
 
 
@@ -1111,6 +1169,7 @@ def grouped_eval(
     eval_mode: str | None = None,
     run_cap: int | None = None,
     split_eval: bool | None = None,
+    seg_pack: int | None = None,
     window_cells=None,
     range_offset=None,
     n_sources_hint: int | None = None,
@@ -1279,6 +1338,16 @@ def grouped_eval(
         # transposed sorted table (no superblock gather, no padded
         # per-group source materialisation) — see list_eval_runs.
         rc = run_cap or defaults["run_cap"]
+        if seg_pack is None:
+            # 2D near fields union into FEW LONG runs (merged-run
+            # calibration: 39-166 runs against ~12K-body near fields),
+            # so plain 256-lane tiles are already well occupied;
+            # packing stays off by default (it is a short-run fix —
+            # see the 3D resolution, ops/bh3d.grouped_eval_3d)
+            env = os.environ.get("NBODY_SEG_PACK")
+            seg_pack = int(env) if env is not None else 1
+        if seg_pack > 1 and eval_k_tile % (128 * seg_pack):
+            seg_pack = 1
         if split_eval:
             acc_r, ovf_e = _evaluate_pallas_runs_split(
                 pg,
@@ -1307,6 +1376,7 @@ def grouped_eval(
                 k_tile=eval_k_tile,
                 run_cap=rc,
                 t_cap=direct_body_cap // eval_k_tile + 2 * rc,
+                seg_pack=seg_pack,
             )
         overflow_g = overflow_g | ovf_e
         ax, ay = acc_r[:, :, 0], acc_r[:, :, 1]

@@ -342,7 +342,7 @@ def _runs_kernel(
     buf_ref,  # VMEM scratch (2, 8, K_TILE) double buffer
     tbl_ref,  # SMEM scratch (4, T) int32: rows [128-aligned tile
     #           start, first valid lane, one-past-last valid lane, pad]
-    sem_ref,  # DMA semaphores (2,)
+    sem_ref,  # DMA semaphores (2,) — or (2, seg_pack) when packing
     tsem_ref,  # DMA semaphore for the table copy
     *,
     softening,
@@ -350,11 +350,22 @@ def _runs_kernel(
     s_tile,
     n_s_tiles,
     dims,
+    seg_pack=1,
 ):
+    """Streaming list evaluation over approx + direct-run tiles.
+
+    With ``seg_pack = P > 1`` the direct table rows describe 128·(k_tile
+    /(128·P))-lane SEGMENTS rather than full tiles: each loop step DMAs
+    P independent segments back-to-back into the one k_tile-wide buffer
+    and masks each against its own [lo, hi) window.  Short Morton runs
+    (3D dcm=32 scales measure 24% lane occupancy at k_tile=512) pack at
+    segment granularity (~56%) while the per-step loop/compute costs
+    stay amortised over the full k_tile."""
     i = pl.program_id(0)
     kt = jnp.int32(k_tile)
+    sw = k_tile // seg_pack  # segment width (multiple of 128)
     a_t = (lens_ref[0, i] + kt - 1) // kt  # occupied approx tiles
-    d_t = lens_ref[1, i]  # occupied direct tiles (pre-counted)
+    d_t = lens_ref[1, i]  # occupied direct (packed) tiles (pre-counted)
     n_t = a_t + d_t
 
     # the group's direct tile table: one small DMA into SMEM
@@ -368,8 +379,25 @@ def _runs_kernel(
             pltpu.make_async_copy(
                 approx_hbm.at[i, :, pl.ds(t * kt, k_tile)],
                 buf_ref.at[slot],
-                sem_ref.at[slot],
+                sem_ref.at[slot]
+                if seg_pack == 1
+                else sem_ref.at[slot, 0],
             ).start()
+
+        if seg_pack > 1:
+
+            @pl.when(t >= a_t)
+            def _direct_packed():
+                base = (t - a_t) * seg_pack
+                for p in range(seg_pack):
+                    sp = pl.multiple_of(tbl_ref[0, base + p], 128)
+                    pltpu.make_async_copy(
+                        srct_hbm.at[:, pl.ds(sp, sw)],
+                        buf_ref.at[slot, :, p * sw : (p + 1) * sw],
+                        sem_ref.at[slot, p],
+                    ).start()
+
+            return
 
         @pl.when(t >= a_t)
         def _direct():
@@ -389,8 +417,25 @@ def _runs_kernel(
             pltpu.make_async_copy(
                 approx_hbm.at[i, :, pl.ds(t * kt, k_tile)],
                 buf_ref.at[slot],
-                sem_ref.at[slot],
+                sem_ref.at[slot]
+                if seg_pack == 1
+                else sem_ref.at[slot, 0],
             ).wait()
+
+        if seg_pack > 1:
+
+            @pl.when(t >= a_t)
+            def _direct_packed():
+                base = (t - a_t) * seg_pack
+                for p in range(seg_pack):
+                    sp = pl.multiple_of(tbl_ref[0, base + p], 128)
+                    pltpu.make_async_copy(
+                        srct_hbm.at[:, pl.ds(sp, sw)],
+                        buf_ref.at[slot, :, p * sw : (p + 1) * sw],
+                        sem_ref.at[slot, p],
+                    ).wait()
+
+            return
 
         @pl.when(t >= a_t)
         def _direct():
@@ -423,11 +468,22 @@ def _runs_kernel(
         # the alignment prefix) and MUST be masked, unlike the
         # zero-padded approx lists
         ti = jnp.maximum(t - a_t, 0)
-        lo = jnp.where(t < a_t, 0, tbl_ref[1, ti])
-        hi = jnp.where(t < a_t, kt, tbl_ref[2, ti])
-        gm = jnp.where(
-            (lane >= lo) & (lane < hi), src[dims : dims + 1, :], 0.0
-        )
+        if seg_pack == 1:
+            lo = jnp.where(t < a_t, 0, tbl_ref[1, ti])
+            hi = jnp.where(t < a_t, kt, tbl_ref[2, ti])
+            keep = (lane >= lo) & (lane < hi)
+        else:
+            # each packed segment masks against its own window (padded
+            # segments carry lo == hi == 0); approx tiles keep every lane
+            base = ti * seg_pack
+            keep = None
+            for p in range(seg_pack):
+                lo_p = tbl_ref[1, base + p] + p * sw
+                hi_p = tbl_ref[2, base + p] + p * sw
+                kp = (lane >= lo_p) & (lane < hi_p)
+                keep = kp if keep is None else (keep | kp)
+            keep = keep | (t < a_t)
+        gm = jnp.where(keep, src[dims : dims + 1, :], 0.0)
         for si in range(n_s_tiles):
             tgt = tgt_ref[0, si * s_tile : (si + 1) * s_tile, :]
             d2 = None
@@ -457,7 +513,9 @@ def _runs_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softening", "k_tile", "s_tile", "interpret"),
+    static_argnames=(
+        "softening", "k_tile", "s_tile", "seg_pack", "interpret"
+    ),
 )
 def list_eval_runs(
     targets: jax.Array,  # [G, S, D] group body positions
@@ -474,6 +532,7 @@ def list_eval_runs(
     softening: float,
     k_tile: int = 2048,
     s_tile: int = 512,
+    seg_pack: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Gather-free list evaluation: direct sources stream straight from
@@ -495,11 +554,24 @@ def list_eval_runs(
     and tile starts are rounded DOWN to 128 so Mosaic can prove the
     dynamic lane-dimension slice aligned — see _expand_runs_tiles).
     Returns [G, S, D] accelerations.
+
+    With ``seg_pack = P > 1`` the ``tiles`` rows describe
+    (k_tile // P)-lane segments (build them with
+    ``_expand_runs_tiles(merged, k_tile // P, ...)``) and
+    ``lens[1]`` counts PACKED tiles (= ceil(segments / P)): each kernel
+    step DMAs P segments into one k_tile buffer and masks per segment.
+    Short-run workloads keep full-tile amortisation at segment-level
+    lane occupancy (3D 256K: 24% -> ~56% measured).
     """
     if jax.config.jax_enable_x64 and not interpret:
         raise ValueError(
             "list_eval_runs requires jax_enable_x64=False (TPU Mosaic "
             "has no int64/f64 lowering)"
+        )
+    if seg_pack > 1 and k_tile % (128 * seg_pack):
+        raise ValueError(
+            f"seg_pack={seg_pack} needs k_tile divisible by "
+            f"{128 * seg_pack} (got {k_tile})"
         )
     g, s, dims = targets.shape
     if s % s_tile:
@@ -550,7 +622,9 @@ def list_eval_runs(
             pltpu.VMEM((s, 8), jnp.float32),
             pltpu.VMEM((2, 8, k_tile), jnp.float32),
             pltpu.SMEM((4, t_cap), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(
+                (2,) if seg_pack == 1 else (2, seg_pack)
+            ),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -563,6 +637,7 @@ def list_eval_runs(
             s_tile=s_tile,
             n_s_tiles=n_s_tiles,
             dims=dims,
+            seg_pack=seg_pack,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g, s, 8), jnp.float32),

@@ -134,6 +134,53 @@ def test_runs_evaluator_matches_xla_whole_path():
 
 
 @pytest.mark.slow
+def test_runs_evaluator_seg_pack_whole_path():
+    """seg_pack=2 (two 128-lane segments per kernel step, the short-run
+    occupancy fix) must agree with the unpacked runs evaluator through
+    the whole grouped engine (interpret mode), 2D and 3D."""
+    import nbody_tpu.ops.bh_grouped as bg
+    import nbody_tpu.ops.list_eval as le
+    from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
+    from nbody_tpu.ops.bh_grouped import bh_accelerations_grouped
+
+    orig = le.list_eval_runs
+    orig_thr = bg.SEG_PACK_MIN_RUN_LANES
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    rng = np.random.default_rng(5)
+    n = 2048
+    G_ = 6.67e-11
+    m = jnp.asarray(10 ** rng.uniform(-1, np.log10(0.5), n), jnp.float32)
+    try:
+        le.list_eval_runs = interp
+        # force the runtime run-length gate to the PACKED branch (small
+        # test clouds have short runs that would route to plain)
+        bg.SEG_PACK_MIN_RUN_LANES = -1.0
+        for dims, fn in ((2, bh_accelerations_grouped),
+                         (3, bh3_accelerations_grouped)):
+            p = jnp.asarray(rng.uniform(-0.1, 0.1, (n, dims)), jnp.float32)
+            kw = dict(
+                g=G_, group_size=512, group_chunk=8, use_pallas=True,
+                eval_mode="runs", eval_k_tile=256, split_eval=False,
+                return_diagnostics=True,
+            )
+            a_packed, ovf = fn(p, m, seg_pack=2, **kw)
+            a_plain, ovf0 = fn(p, m, seg_pack=1, **kw)
+            assert int(np.asarray(ovf).sum()) == 0
+            assert int(np.asarray(ovf0).sum()) == 0
+            scale = float(jnp.max(jnp.abs(a_plain)))
+            d = float(jnp.max(jnp.abs(a_packed - a_plain)))
+            # identical lane set, accumulation regrouped across tiles
+            assert d <= 1e-5 * scale, (dims, d, scale)
+    finally:
+        le.list_eval_runs = orig
+        bg.SEG_PACK_MIN_RUN_LANES = orig_thr
+
+
+@pytest.mark.slow
 def test_split_evaluator_whole_path():
     """Quarter-split runs evaluation (split_eval=True): per-quarter
     direct ranges + COM extension section.  Physics stays in the BH
