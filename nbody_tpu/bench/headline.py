@@ -122,12 +122,29 @@ def _bh_headline(n, k_lo, k_hi, rng, masses, fresh, backend):
         "overflowed_bodies": n_ovf,
         "backend": backend,
         "source": "bench.py headline (slope method)",
+        "note": "refreshed by bench.py on "
+        + time.strftime("%Y-%m-%d")
+        + " (slope method; see PERF.md for session variance)",
         "ref_best_step_seconds_40k": 0.0065,  # project_report.pdf p.24
     }
+    refresh_config3_record(RESULTS_PATH, rec)
+
+
+def refresh_config3_record(path: str, rec: dict) -> None:
+    """Merge ``rec`` into the config-3 record of the baseline-results
+    file, atomically (tmp + os.replace — a crash mid-write must never
+    corrupt the round's baseline artifact).
+
+    Keys measured by a *different* session class are dropped from the
+    existing record rather than left stale next to the fresh numbers
+    (round-4 advisor: a refreshed step time sat beside a prior session's
+    ``tree_build_seconds`` and note)."""
+    import json as _json
+
     report = []
-    if os.path.exists(RESULTS_PATH):
+    if os.path.exists(path):
         try:
-            with open(RESULTS_PATH) as f:
+            with open(path) as f:
                 report = _json.load(f)
         except Exception:
             report = []
@@ -135,12 +152,17 @@ def _bh_headline(n, k_lo, k_hi, rng, masses, fresh, backend):
     # than clobbering it — bench.py may run after a full baseline pass
     existing = [r for r in report if r.get("config") == 3]
     if existing:
+        # session-scoped keys the new measurement does not re-measure
+        for stale in ("tree_build_seconds", "note"):
+            existing[0].pop(stale, None)
         existing[0].update(rec)
     else:
         report.append(rec)
     report.sort(key=lambda r: r.get("config", 99))
-    with open(RESULTS_PATH, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         _json.dump(report, f, indent=2)
+    os.replace(tmp, path)
 
 
 def _measure(backend: str) -> dict:

@@ -178,6 +178,11 @@ def _build_config(args):
         metrics_csv=args.metrics_csv,
         metrics_tree=not args.no_metrics_tree,
         mesh=MeshConfig(dp=args.devices),
+        hbm_bytes=(
+            int(args.hbm_gb * 1024**3)
+            if getattr(args, "hbm_gb", None)
+            else None
+        ),
     )
 
 
@@ -229,16 +234,10 @@ def cmd_run(args) -> int:
                 # HBM-fit gate: grouped (full replication, fastest) vs
                 # sharded (O(N/devices) sources) — parallel/memory.py,
                 # the reference's 48KB-gate decision logic at HBM scale
-                from .parallel.memory import HBM_BYTES_DEFAULT, choose_bh_mode
+                from .parallel.memory import choose_bh_mode
 
-                hbm = (
-                    int(args.hbm_gb * 1024**3)
-                    if getattr(args, "hbm_gb", None)
-                    else HBM_BYTES_DEFAULT
-                )
-                mode = choose_bh_mode(
-                    config, args.devices, hbm_bytes=hbm, verbose=True
-                )
+                # hbm_bytes resolves from config.hbm_bytes (--hbm-gb)
+                mode = choose_bh_mode(config, args.devices, verbose=True)
             else:
                 mode = "dp_allpairs"
         if getattr(args, "dims", 2) == 3 and mode in (

@@ -189,6 +189,13 @@ class SimConfig:
 
     # Parallelism.
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    # Per-chip HBM budget (bytes) for the mode="auto" grouped-vs-sharded
+    # Barnes-Hut gate (parallel/memory.py — the reference's 48KB
+    # shared-memory gate at HBM scale, project.cu:971-974, parameterized
+    # by the hardware table it runs on like project.cu:166-172).
+    # None = the conservative 16 GiB default; the CLI --hbm-gb flag maps
+    # onto this field.
+    hbm_bytes: Optional[int] = None
 
     # I/O toggles (reference: save init files project.cu:236-246, positions
     # every step project.cu:909, tree dumps first/last step project.cu:962).

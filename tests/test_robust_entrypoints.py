@@ -117,6 +117,48 @@ def test_headline_numpy_fallback_is_real():
     assert rec["backend"] == "numpy-fallback"
 
 
+def test_config3_refresh_is_atomic(monkeypatch, tmp_path):
+    """Round-4 weak #6: a crash mid-write must leave the old baseline
+    record intact.  Kill json.dump mid-write and check the artifact
+    survives byte-for-byte; a successful refresh also drops the prior
+    session's note/tree_build_seconds (round-4 advisor finding)."""
+    import json as _json
+
+    from nbody_tpu.bench import headline
+
+    path = tmp_path / "results.json"
+    old = [
+        {
+            "config": 3,
+            "steps_per_sec": 100.0,
+            "tree_build_seconds": 0.002,
+            "note": "from a prior session",
+        }
+    ]
+    path.write_text(_json.dumps(old))
+
+    def boom(*a, **kw):
+        raise KeyboardInterrupt("simulated crash mid-write")
+
+    real_dump = _json.dump
+    monkeypatch.setattr(_json, "dump", boom)
+    try:
+        headline.refresh_config3_record(str(path), {"config": 3})
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.setattr(_json, "dump", real_dump)
+    assert _json.loads(path.read_text()) == old  # artifact untouched
+
+    # a successful refresh merges and drops the stale session keys
+    headline.refresh_config3_record(
+        str(path), {"config": 3, "steps_per_sec": 170.0, "note": "fresh"}
+    )
+    rec = _json.loads(path.read_text())[0]
+    assert rec["steps_per_sec"] == 170.0
+    assert rec["note"] == "fresh"
+    assert "tree_build_seconds" not in rec
+
+
 def test_dryrun_parent_never_touches_backend(monkeypatch):
     """The dryrun parent must not query any JAX backend (that's what
     hung MULTICHIP_r03): it re-execs a CPU-pinned child.  Simulate a
