@@ -114,3 +114,121 @@ def choose_bh_mode(
             file=sys.stderr,
         )
     return mode
+
+
+# ---------------------------------------------------------------------------
+# Communication model (bytes/step/chip per mode)
+#
+# The reference quantifies its per-step staging traffic — the tree H2D
+# every step (project.cu:968) and positions D2H every step
+# (project.cu:1010), measured in project_report.pdf p.22.  Our
+# equivalents are ICI collectives; this model makes the docstring
+# claims of parallel/steps.py (grouped = O(N) all_gather, sharded =
+# O(N/devices + tree)) *tested arithmetic*: `collective_inventory`
+# enumerates every collective one step issues with its per-chip operand
+# payload (tests assert it against the traced jaxpr's collective
+# operand shapes), and `comm_bytes_per_step` converts payloads into
+# wire bytes sent per chip under standard ring algorithms.
+# ---------------------------------------------------------------------------
+
+_I32 = 4
+
+# packed raw leaf-table fields that ride the pyramid psum
+# (ops/tree.leaf_raw -> [4^d, 8] f32; ops/tree3d.leaf_raw_3d -> [8^d, 16])
+_RAW_FIELDS = {2: 8, 3: 16}
+
+
+def _leaf_psum_bytes(config: SimConfig) -> int:
+    """Payload of the ONE leaf-table psum that replicates the pyramid."""
+    dim = getattr(config, "n_dim", 2)
+    depth = config.resolved_max_depth
+    return (2**dim) ** depth * _RAW_FIELDS[dim] * _F32
+
+
+def _slab(config: SimConfig, n_devices: int) -> int:
+    """Per-chip body-slab length (bodies shard evenly over dp)."""
+    return -(-config.n_bodies // n_devices)  # ceil
+
+
+def collective_inventory(
+    config: SimConfig, n_devices: int, mode: str, sp: int = 1
+) -> list:
+    """Every collective one sharded step issues, as ``(op, payload)``
+    pairs where ``payload`` is the per-chip operand bytes — matching the
+    traced jaxpr's collective operand shapes one-to-one (asserted by
+    tests/test_comm_model.py).  For ``dp2d_allpairs`` ``n_devices`` is
+    the dp axis size and ``sp`` the source axis (targets shard over dp;
+    sources stripe over sp).
+
+    Scalar control-plane reductions (root bounds pmin/pmax, the psum'd
+    overflow count) are included so the inventory is complete, but they
+    are 4-byte payloads — the story is the array terms.
+    """
+    dim = getattr(config, "n_dim", 2)
+    s = _slab(config, n_devices)
+    pos = s * dim * _F32
+    mass = s * _F32
+    inv: list = []
+    if mode == "dp_allpairs":
+        inv += [("all_gather", pos), ("all_gather", mass)]
+    elif mode == "ring_allpairs":
+        inv += [("ppermute", pos), ("ppermute", mass)] * (n_devices - 1)
+    elif mode == "dp2d_allpairs":
+        # bodies shard over dp only; the gather runs once per sp replica
+        # (counted once per chip); the partial-acc psum rides sp
+        inv += [("all_gather", pos), ("all_gather", mass)]
+        inv += [("psum", s * dim * _F32)]
+    elif mode == "dp_barnes_hut":
+        inv += [("pmin", _F32), ("pmax", _F32)] * dim
+        inv += [("psum", _leaf_psum_bytes(config))]
+        inv += [("psum", _I32)]  # overflow count
+    elif mode in ("dp_barnes_hut_grouped", "dp_barnes_hut_grouped3"):
+        inv += [("all_gather", pos), ("all_gather", mass)]
+        inv += [("psum", _I32)]
+    elif mode in ("dp_barnes_hut_sharded", "dp_barnes_hut_sharded3"):
+        inv += [("pmin", _F32), ("pmax", _F32)] * dim
+        inv += [("psum", _leaf_psum_bytes(config))]
+        # halo slabs: own rows [slab, dim+1] f32 + codes [slab] i32,
+        # once per neighbour (two for n_dev > 2, one for n_dev == 2)
+        halos = 0 if n_devices == 1 else (1 if n_devices == 2 else 2)
+        inv += [
+            ("ppermute", s * (dim + 1) * _F32),
+            ("ppermute", s * _I32),
+        ] * halos
+        inv += [("psum", _I32)]
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return inv
+
+
+def comm_bytes_per_step(
+    config: SimConfig, n_devices: int, mode: str, sp: int = 1
+) -> int:
+    """Wire bytes SENT per chip per step under ring algorithms:
+    all_gather of slab ``s`` over D sends ``(D-1)*s``; psum of payload
+    ``p`` sends ``2*p*(D-1)/D`` (reduce-scatter + all-gather); ppermute
+    sends its payload once; pmin/pmax modeled as scalar psums.
+
+    This is the number the sharded design's O(N/devices + tree) claim
+    is about: grouped's all_gather term grows with N while sharded's
+    ppermute term is N/devices and its psum term is the (N-independent)
+    leaf table."""
+    d = max(n_devices, 1)
+    if mode == "dp2d_allpairs":
+        sp = max(sp, 1)
+        total = 0.0
+        for op, p in collective_inventory(config, n_devices, mode, sp):
+            if op == "all_gather":
+                total += (d - 1) * p
+            elif op == "psum":
+                total += 2 * p * (sp - 1) / sp
+        return int(total)
+    total = 0.0
+    for op, p in collective_inventory(config, n_devices, mode):
+        if op == "all_gather":
+            total += (d - 1) * p
+        elif op == "ppermute":
+            total += p
+        else:  # psum / pmin / pmax
+            total += 2 * p * (d - 1) / d
+    return int(total)
