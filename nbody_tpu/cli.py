@@ -82,6 +82,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "quarter of a group evaluates only the direct "
                         "cells its own sub-bboxes fail theta against "
                         "(default auto: on for groups >= 512)")
+    p.add_argument("--collect3", choices=["gather", "dense"],
+                   default=None,
+                   help="3D list-collection traversal (default auto: "
+                        "gather frontier walk; dense = window-stencil "
+                        "spatial slabs, ops/collect_dense3.py)")
     p.add_argument("--no-adaptive-caps", action="store_true",
                    help="disable the overflow retry (by default an "
                         "overflowed step is recomputed with 4x caps; "
@@ -170,6 +175,7 @@ def _build_config(args):
         split_eval={"auto": None, "on": True, "off": False}[
             args.split_eval
         ],
+        collect3=getattr(args, "collect3", None),
         adaptive_caps=not args.no_adaptive_caps,
         save_positions=args.save_positions,
         save_tree_dumps=args.save_tree_dumps,

@@ -180,6 +180,12 @@ class SimConfig:
     # as COMs through an extension section).  False forces whole-group
     # evaluation.
     split_eval: Optional[bool] = None
+    # 3D list-collection traversal (ops.bh3d): None = auto (currently
+    # the gather frontier walk; "dense" = the window-stencil walk of
+    # ops/collect_dense3.py — dynamic-slice spatial windows + spill,
+    # no per-level gathers).  The adaptive retry always falls back to
+    # the gather walk (4x caps widen frontiers, not windows).
+    collect3: Optional[str] = None
     # Adaptive cap retry (contract loop, barnes_hut): when a step's
     # traversal caps overflow, recompute that step from the pre-step
     # state with every cap at 4x (lazily compiled on first overflow) —

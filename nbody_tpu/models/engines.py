@@ -170,6 +170,7 @@ def make_accel_fn(config: SimConfig, return_diagnostics: bool = False) -> Callab
                     eval_k_tile=config.eval_k_tile,
                     run_cap=config.run_cap,
                     split_eval=config.split_eval,
+                    collect=config.collect3,
                 )
 
             return accel

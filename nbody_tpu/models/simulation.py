@@ -326,7 +326,10 @@ class Simulation:
                 caps = {
                     k: 4 * v for k, v in resolved_caps(self.config).items()
                 }
-                cfg4 = self.config.replace(**caps)
+                # the retry is the EXACT path: 4x caps widen the gather
+                # walk's frontiers; dense windows don't scale with caps,
+                # so the retry always re-collects via the gather walk
+                cfg4 = self.config.replace(collect3="gather", **caps)
                 accel = _maf(cfg4, return_diagnostics=True)
                 dt = self.config.dt
 

@@ -762,6 +762,7 @@ def _evaluate_3d(
         "run_cap",
         "split_eval",
         "seg_pack",
+        "collect",
     ),
 )
 def bh3_accelerations_grouped(
@@ -789,17 +790,29 @@ def bh3_accelerations_grouped(
     run_cap: int | None = None,
     split_eval: bool | None = None,
     seg_pack: int | None = None,
+    collect: str | None = None,
 ):
     """Grouped 3D Barnes-Hut accelerations [N, 3] (+ overflow [N]).
 
     ``None`` caps resolve from :func:`cap_defaults_3d`; ``max_depth``
-    defaults from :func:`tree3d.default_max_depth3` (bodies/leaf ~ 1)."""
+    defaults from :func:`tree3d.default_max_depth3` (bodies/leaf ~ 1).
+    ``collect`` picks the list-collection traversal: ``"gather"`` (the
+    frontier walk) or ``"dense"`` (window-stencil,
+    ops/collect_dense3.py); ``None`` reads ``NBODY_COLLECT3`` and
+    defaults to gather."""
     n = positions.shape[0]
     f32 = positions.dtype
     if max_depth is None:
         max_depth = default_max_depth3(n)
 
     tree = build_octree(positions, masses, max_depth=max_depth)
+    spyr = None
+    if _resolve_collect(collect) == "dense":
+        from .collect_dense3 import build_spatial_pyramid
+
+        spyr = build_spatial_pyramid(
+            positions, masses, tree.bounds, max_depth
+        )
 
     # sources in Morton order: ONE packed [N, 4] row gather
     src_order = jnp.argsort(tree.codes)
@@ -837,7 +850,17 @@ def bh3_accelerations_grouped(
         run_cap=run_cap,
         split_eval=split_eval,
         seg_pack=seg_pack,
+        collect=collect,
+        spyr=spyr,
     )
+
+
+def _resolve_collect(collect: str | None) -> str:
+    """``None`` -> NBODY_COLLECT3 env (trace-time) -> "gather"."""
+    mode = collect or os.environ.get("NBODY_COLLECT3", "gather")
+    if mode not in ("gather", "dense"):
+        raise ValueError(f"collect must be gather|dense, got {mode!r}")
+    return mode
 
 
 def grouped_eval_3d(
@@ -870,13 +893,18 @@ def grouped_eval_3d(
     window_cells=None,
     range_offset=None,
     n_sources_hint: int | None = None,
+    collect: str | None = None,
+    spyr=None,
 ):
     """Grouped 3D evaluation of arbitrary targets against a prebuilt
     octree — the 3D mirror of ops/bh_grouped.grouped_eval (multi-chip:
     each device passes its local shard as targets against the gathered
     global sources; self-exclusion stays index-free via d2 > 0).  The
     window/offset/hint trio enables the sharded-source mode (see the 2D
-    docstring)."""
+    docstring).  ``collect="dense"`` routes list collection through the
+    window-stencil walk (ops/collect_dense3.py, requires ``spyr``);
+    the sharded-source mode (``window_cells``) stays on the gather
+    walk."""
     n = target_positions.shape[0]
     ns = sorted_srcs[0].shape[0]
     max_depth = tree.max_depth
@@ -949,18 +977,41 @@ def grouped_eval_3d(
             "split_eval=True requires group_size and n_sub divisible "
             f"by 4 (got {gs}, {n_sub})"
         )
-    collected = _collect_lists_3d(
-        bbox,
-        tree,
-        theta=theta,
-        softening=softening,
-        frontier_caps=frontier_schedule_3d(frontier_cap, max_depth, n_eff),
-        list_cap=list_cap,
-        direct_cap=direct_cap,
-        direct_cell_max=direct_cell_max,
-        window_cells=window_cells,
-        quarter_bits=split_eval,
+    use_dense = (
+        _resolve_collect(collect) == "dense"
+        and spyr is not None
+        and window_cells is None
     )
+    if use_dense:
+        from .collect_dense3 import collect_lists_3d_dense
+
+        collected = collect_lists_3d_dense(
+            bbox,
+            tree,
+            spyr,
+            theta=theta,
+            softening=softening,
+            frontier_caps=frontier_schedule_3d(
+                frontier_cap, max_depth, n_eff
+            ),
+            list_cap=list_cap,
+            direct_cap=direct_cap,
+            direct_cell_max=direct_cell_max,
+            quarter_bits=split_eval,
+        )
+    else:
+        collected = _collect_lists_3d(
+            bbox,
+            tree,
+            theta=theta,
+            softening=softening,
+            frontier_caps=frontier_schedule_3d(frontier_cap, max_depth, n_eff),
+            list_cap=list_cap,
+            direct_cap=direct_cap,
+            direct_cell_max=direct_cell_max,
+            window_cells=window_cells,
+            quarter_bits=split_eval,
+        )
     lists, ranges, overflow_g = collected[0:3]
     quarters = collected[3] if split_eval else None
     if range_offset is not None:

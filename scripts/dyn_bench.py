@@ -84,5 +84,9 @@ if __name__ == "__main__":
         init = parts.pop("init", "uniform")
         reps = int(parts.pop("reps", 2))
         mode = parts.pop("mode", None)
+        collect = parts.pop("collect", None)
+        extra = {k: int(v) for k, v in parts.items()}
+        if collect:
+            extra["collect"] = collect
         bench(n, dims, dyn, ks=ks, init=init, reps=reps, mode=mode,
-              **{k: int(v) for k, v in parts.items()})
+              **extra)
