@@ -123,6 +123,7 @@ def test_grouped3_vs_dense(cloud3):
     assert np.quantile(rel, 0.99) < 5e-3
 
 
+@pytest.mark.slow
 def test_grouped3_dead_level_skip_equivalence(cloud3, monkeypatch):
     """The lax.cond dead-level runtime skip (bh3d._collect_lists_3d) is
     bit-exact vs the straight-line walk.  frontier_cap=2048 activates
@@ -151,6 +152,7 @@ def test_grouped3_dead_level_skip_equivalence(cloud3, monkeypatch):
     assert np.array_equal(out["1"], out["0"])
 
 
+@pytest.mark.slow
 def test_grouped3_theta_zero_converges(cloud3):
     from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
 
@@ -389,6 +391,7 @@ def test_cli_run_3d(tmp_path, capsys):
     assert all(len(r) == 5 for r in rows)
 
 
+@pytest.mark.slow
 def test_cli_compare_3d(tmp_path, capsys):
     """3D compare: naive vs grouped octree BH from one init (checkEqual
     workflow, project.cu:1027-1047, generalised)."""
@@ -447,6 +450,7 @@ def test_cli_sweep_3d_strong(tmp_path, capsys, monkeypatch):
     assert text.count("GPU total computation took") == 2
 
 
+@pytest.mark.slow
 def test_metrics_csv_3d_tree_stats(tmp_path):
     """3D runs record octree statistics in the metrics CSV (the 2D
     tree_nodes/tree_max_depth observable, observations.txt:59-65)."""

@@ -20,7 +20,11 @@ def _cloud(n, seed=11):
     return masses, positions
 
 
-@pytest.mark.parametrize("theta", [0.3, 0.5, 0.8])
+@pytest.mark.parametrize(
+    "theta",
+    [pytest.param(0.3, marks=pytest.mark.slow), 0.5,
+     pytest.param(0.8, marks=pytest.mark.slow)],
+)
 def test_matches_oracle(theta):
     masses, positions = _cloud(600)
     want = oracle.bh_accelerations(positions, masses, g=G, theta=theta)

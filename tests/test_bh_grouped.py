@@ -25,7 +25,11 @@ def _cloud(n, seed=11):
     return masses, positions
 
 
-@pytest.mark.parametrize("group_size", [1, 64, 256])
+@pytest.mark.parametrize(
+    "group_size",
+    [pytest.param(1, marks=pytest.mark.slow), 64,
+     pytest.param(256, marks=pytest.mark.slow)],
+)
 def test_matches_oracle_within_budget(group_size):
     masses, positions = _cloud(600)
     want = oracle.bh_accelerations(positions, masses, g=G, theta=0.5)

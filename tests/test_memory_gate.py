@@ -131,6 +131,7 @@ def test_config_hbm_bytes_drives_library_gate():
     assert step is not None  # built without error through the gate
 
 
+@pytest.mark.slow
 def test_auto_mode_runs_and_matches_explicit():
     """make_sharded_step(mode='auto') resolves through the gate and the
     resulting step is the grouped step at this scale (same trajectory)."""

@@ -62,7 +62,7 @@ def _single_device_reference(cloud, n_steps, engine="allpairs"):
         "dp_allpairs",
         "ring_allpairs",
         "dp_barnes_hut",
-        "dp_barnes_hut_grouped",
+        pytest.param("dp_barnes_hut_grouped", marks=pytest.mark.slow),
     ],
 )
 def test_sharded_matches_single(cloud, mode):
