@@ -43,6 +43,7 @@ demand-calibration discipline as the frontier schedule (SURVEY §2.6).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -295,131 +296,193 @@ def collect_lists_3d_dense(
         full = w == (1 << lv)
         o = origins[lv]
 
-        # window reads: one slice per group (broadcast when the window
-        # IS the level — levels <= 3 cost no per-group copy)
-        if full:
-            awin = jnp.broadcast_to(
-                spyr.grid[lv][None], (g,) + spyr.grid[lv].shape
-            )
-            swin = jnp.broadcast_to(
-                spyr.start[lv][None], (g,) + spyr.start[lv].shape
-            )
-        else:
-            awin = _slice_window(spyr.grid[lv], o, w)
-            swin = _slice_window(spyr.start[lv], o, w)
-
-        aflat = awin.reshape(g, p, 5)
-        m = aflat[:, :, 0]
-        cx = aflat[:, :, 1]
-        cy = aflat[:, :, 2]
-        cz = aflat[:, :, 3]
-        cnt = aflat[:, :, 4]
-        start = swin.reshape(g, p)
-
-        # reached = parent window's open flags, upsampled 2x per axis.
-        # Even origins make the child window's parent span exactly the
-        # [o//2 - o_prev, +w//2) slab of the parent window.
-        if lv == 0:
-            reached = jnp.ones((g, 1), bool)
-        else:
-            wh = w // 2
-            r_off = (o // 2) - origins[lv - 1]
-            par = _slice_window_batched(
-                prev_open.astype(jnp.int8), r_off, wh
-            )  # [G, wh, wh, wh]
-            up = (
-                jnp.broadcast_to(
-                    par[:, :, None, :, None, :, None],
-                    (g, wh, 2, wh, 2, wh, 2),
+        def _level(prev_open, lv=lv, w=w, p=p, is_last=is_last,
+                   full=full, o=o):
+            # window reads: one slice per group (broadcast when the
+            # window IS the level — levels <= 3 cost no per-group copy)
+            if full:
+                awin = jnp.broadcast_to(
+                    spyr.grid[lv][None], (g,) + spyr.grid[lv].shape
                 )
-                .reshape(g, w, w, w)
-                .astype(bool)
+                swin = jnp.broadcast_to(
+                    spyr.start[lv][None], (g,) + spyr.start[lv].shape
+                )
+            else:
+                awin = _slice_window(spyr.grid[lv], o, w)
+                swin = _slice_window(spyr.start[lv], o, w)
+
+            aflat = awin.reshape(g, p, 5)
+            m = aflat[:, :, 0]
+            cx = aflat[:, :, 1]
+            cy = aflat[:, :, 2]
+            cz = aflat[:, :, 3]
+            cnt = aflat[:, :, 4]
+            start = swin.reshape(g, p)
+
+            # reached = parent window's open flags, upsampled 2x per
+            # axis.  Even origins make the child window's parent span
+            # exactly the [o//2 - o_prev, +w//2) slab of the parent.
+            if lv == 0:
+                reached = jnp.ones((g, 1), bool)
+            else:
+                wh = w // 2
+                r_off = (o // 2) - origins[lv - 1]
+                par = _slice_window_batched(
+                    prev_open.astype(jnp.int8), r_off, wh
+                )  # [G, wh, wh, wh]
+                up = (
+                    jnp.broadcast_to(
+                        par[:, :, None, :, None, :, None],
+                        (g, wh, 2, wh, 2, wh, 2),
+                    )
+                    .reshape(g, w, w, w)
+                    .astype(bool)
+                )
+                reached = up.reshape(g, p)
+
+            # theta test against the Q sub-bboxes (gather-walk
+            # semantics: box->COM distance, sqrt after the min —
+            # bh3d.py:294-316)
+            cxe = cx[:, None, :]
+            cye = cy[:, None, :]
+            cze = cz[:, None, :]
+            dx = jnp.maximum(
+                jnp.maximum(x0[:, :, None] - cxe, cxe - x1[:, :, None]),
+                0.0,
             )
-            reached = up.reshape(g, p)
+            dy = jnp.maximum(
+                jnp.maximum(y0[:, :, None] - cye, cye - y1[:, :, None]),
+                0.0,
+            )
+            dz = jnp.maximum(
+                jnp.maximum(z0[:, :, None] - cze, cze - z1[:, :, None]),
+                0.0,
+            )
+            d2all = dx * dx + dy * dy + dz * dz  # [G, Q, P]
+            d_min = jnp.sqrt(jnp.min(d2all, axis=1)) + soft
+            size = level_cell_size_3d(spyr.bounds, lv).astype(f32)
+            theta_ok = size < theta * d_min
 
-        # theta test against the Q sub-bboxes (gather-walk semantics:
-        # box->COM distance, sqrt after the min — bh3d.py:294-316)
-        cxe, cye, cze = cx[:, None, :], cy[:, None, :], cz[:, None, :]
-        dx = jnp.maximum(
-            jnp.maximum(x0[:, :, None] - cxe, cxe - x1[:, :, None]), 0.0
-        )
-        dy = jnp.maximum(
-            jnp.maximum(y0[:, :, None] - cye, cye - y1[:, :, None]), 0.0
-        )
-        dz = jnp.maximum(
-            jnp.maximum(z0[:, :, None] - cze, cze - z1[:, :, None]), 0.0
-        )
-        d2all = dx * dx + dy * dy + dz * dz  # [G, Q, P]
-        d_min = jnp.sqrt(jnp.min(d2all, axis=1)) + soft
-        size = level_cell_size_3d(spyr.bounds, lv).astype(f32)
-        theta_ok = size < theta * d_min
+            one = jnp.asarray(1.0, f32)
+            nonempty = reached & (cnt > 0) & (m > MASS_SKIP_THRESHOLD)
+            single = nonempty & (cnt == one)
+            multi = nonempty & (cnt > one)
+            approx = single | (multi & (theta_ok | is_last))
+            direct = (
+                multi
+                & ~theta_ok
+                & (not is_last)
+                & (cnt <= direct_cell_max)
+            )
 
-        one = jnp.asarray(1.0, f32)
-        nonempty = reached & (cnt > 0) & (m > MASS_SKIP_THRESHOLD)
-        single = nonempty & (cnt == one)
-        multi = nonempty & (cnt > one)
-        approx = single | (multi & (theta_ok | is_last))
-        direct = (
-            multi
-            & ~theta_ok
-            & (not is_last)
-            & (cnt <= direct_cell_max)
-        )
+            outs = [
+                cx, cy, cz,
+                jnp.where(approx, m, 0.0),
+                approx,
+                jnp.where(direct, start, 0),
+                jnp.where(direct, cnt.astype(jnp.int32), 0),
+                direct,
+            ]
+            if quarter_bits:
+                qn = q // 4
+                dq = (
+                    jnp.sqrt(
+                        jnp.min(d2all.reshape(g, 4, qn, p), axis=2)
+                    )
+                    + soft
+                )  # [G, 4, P]
+                fail_q = size >= theta * dq
+                bits = jnp.sum(
+                    jnp.where(
+                        fail_q,
+                        jnp.asarray([1, 2, 4, 8], jnp.int32)[
+                            None, :, None
+                        ],
+                        0,
+                    ),
+                    axis=1,
+                    dtype=jnp.int32,
+                )
+                outs += [
+                    jnp.where(direct, bits, 0),
+                    cx, cy, cz,
+                    jnp.where(direct, m, 0.0),
+                ]
+            if is_last:
+                return tuple(outs)
 
-        app_x.append(cx)
-        app_y.append(cy)
-        app_z.append(cz)
-        app_m.append(jnp.where(approx, m, 0.0))
-        app_mask.append(approx)
-        dir_s.append(jnp.where(direct, start, 0))
-        dir_c.append(jnp.where(direct, cnt.astype(jnp.int32), 0))
-        dir_mask.append(direct)
+            open_ = multi & ~theta_ok & ~direct
+            # exact escape check: children of opened cells must land
+            # inside the NEXT window, else this group's dense lists are
+            # incomplete -> spill (the open flag is dropped so the
+            # dense outputs stay self-consistent for unspilled lanes)
+            wn = sched[lv + 1]
+            on = origins[lv + 1]  # [G, 3]
+            ix = jnp.arange(w, dtype=jnp.int32)
+            ax = (o[:, 0:1] + ix)[:, :, None, None]  # [G, w, 1, 1]
+            ay = (o[:, 1:2] + ix)[:, None, :, None]
+            az = (o[:, 2:3] + ix)[:, None, None, :]
+            within = (
+                (2 * ax >= on[:, 0, None, None, None])
+                & (2 * ax + 1 <= on[:, 0, None, None, None] + wn - 1)
+                & (2 * ay >= on[:, 1, None, None, None])
+                & (2 * ay + 1 <= on[:, 1, None, None, None] + wn - 1)
+                & (2 * az >= on[:, 2, None, None, None])
+                & (2 * az + 1 <= on[:, 2, None, None, None] + wn - 1)
+            ).reshape(g, p)
+            esc_l = jnp.any(open_ & ~within, axis=1)
+            return tuple(outs) + (
+                esc_l, (open_ & within).reshape(g, w, w, w)
+            )
+
+        def _dead(prev_open, w=w, p=p, is_last=is_last):
+            zf = jnp.zeros((g, p), f32)
+            zi = jnp.zeros((g, p), jnp.int32)
+            zb = jnp.zeros((g, p), bool)
+            outs = [zf, zf, zf, zf, zb, zi, zi, zb]
+            if quarter_bits:
+                outs += [zi, zf, zf, zf, zf]
+            if is_last:
+                return tuple(outs)
+            return tuple(outs) + (
+                jnp.zeros((g,), bool),
+                jnp.zeros((g, w, w, w), bool),
+            )
+
+        # dead-level runtime skip (the gather walk's discipline,
+        # bh3d.py:413-428): a frontier that died out — uniform dcm=128
+        # states leave the deep window levels empty — skips its window
+        # reads + theta math at runtime.  Static shapes unchanged.
+        if (
+            p >= 4096
+            and lv > 0
+            and os.environ.get("NBODY_DEAD_LEVEL_SKIP", "1") != "0"
+        ):
+            res = jax.lax.cond(
+                jnp.any(prev_open), _level, _dead, prev_open
+            )
+        else:
+            res = _level(prev_open)
+
+        res = list(res)
+        app_x.append(res.pop(0))
+        app_y.append(res.pop(0))
+        app_z.append(res.pop(0))
+        app_m.append(res.pop(0))
+        app_mask.append(res.pop(0))
+        dir_s.append(res.pop(0))
+        dir_c.append(res.pop(0))
+        dir_mask.append(res.pop(0))
         if quarter_bits:
-            qn = q // 4
-            dq = (
-                jnp.sqrt(jnp.min(d2all.reshape(g, 4, qn, p), axis=2))
-                + soft
-            )  # [G, 4, P]
-            fail_q = size >= theta * dq
-            bits = jnp.sum(
-                jnp.where(
-                    fail_q,
-                    jnp.asarray([1, 2, 4, 8], jnp.int32)[None, :, None],
-                    0,
-                ),
-                axis=1,
-                dtype=jnp.int32,
-            )
-            dir_b.append(jnp.where(direct, bits, 0))
-            dir_qx.append(cx)
-            dir_qy.append(cy)
-            dir_qz.append(cz)
-            dir_m.append(jnp.where(direct, m, 0.0))
-
+            dir_b.append(res.pop(0))
+            dir_qx.append(res.pop(0))
+            dir_qy.append(res.pop(0))
+            dir_qz.append(res.pop(0))
+            dir_m.append(res.pop(0))
         if is_last:
             break
-        open_ = multi & ~theta_ok & ~direct
-
-        # exact escape check: children of opened cells must land inside
-        # the NEXT window, else this group's dense lists are incomplete
-        # -> spill (and the open flag is dropped so the dense outputs
-        # stay self-consistent for non-spilled lanes).
-        wn = sched[lv + 1]
-        on = origins[lv + 1]  # [G, 3]
-        ix = jnp.arange(w, dtype=jnp.int32)
-        ax = (o[:, 0:1] + ix)[:, :, None, None]  # [G, w, 1, 1]
-        ay = (o[:, 1:2] + ix)[:, None, :, None]
-        az = (o[:, 2:3] + ix)[:, None, None, :]
-        within = (
-            (2 * ax >= on[:, 0, None, None, None])
-            & (2 * ax + 1 <= on[:, 0, None, None, None] + wn - 1)
-            & (2 * ay >= on[:, 1, None, None, None])
-            & (2 * ay + 1 <= on[:, 1, None, None, None] + wn - 1)
-            & (2 * az >= on[:, 2, None, None, None])
-            & (2 * az + 1 <= on[:, 2, None, None, None] + wn - 1)
-        ).reshape(g, p)
-        escape = escape | jnp.any(open_ & ~within, axis=1)
-        prev_open = (open_ & within).reshape(g, w, w, w)
+        escape = escape | res.pop(0)
+        prev_open = res.pop(0)
 
     (lx, ly, lz, lm), ovf_a = _sort_compact(
         jnp.concatenate(app_mask, axis=1),

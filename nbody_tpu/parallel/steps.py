@@ -529,6 +529,13 @@ def make_dp_barnes_hut_grouped3_step(
         all_pos = jax.lax.all_gather(positions, axis, axis=0, tiled=True)
         all_m = jax.lax.all_gather(masses, axis, axis=0, tiled=True)
         tree = build_octree(all_pos, all_m, max_depth=depth3)
+        spyr = None
+        if getattr(config, "collect3", None) == "dense":
+            from ..ops.collect_dense3 import build_spatial_pyramid
+
+            spyr = build_spatial_pyramid(
+                all_pos, all_m, tree.bounds, depth3
+            )
         src_order = jnp.argsort(tree.codes)
         psort = all_pos[src_order]
         acc, ovf_b = grouped_eval_3d(
@@ -554,6 +561,8 @@ def make_dp_barnes_hut_grouped3_step(
             eval_k_tile=config.eval_k_tile,
             run_cap=config.run_cap,
             split_eval=config.split_eval,
+            collect=getattr(config, "collect3", None),
+            spyr=spyr,
             return_diagnostics=True,
         )
         n_ovf = jax.lax.psum(jnp.sum(ovf_b.astype(jnp.int32)), axis)

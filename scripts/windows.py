@@ -29,7 +29,7 @@ G_CONST = 6.67e-11
 MASS_SKIP = 1e-15
 
 
-def _state(n, init, steps, theta):
+def _state(n, init, steps, theta, dims=3):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -37,17 +37,18 @@ def _state(n, init, steps, theta):
     masses = 10 ** rng.uniform(-1, np.log10(0.5), n)
     if init == "blobs":
         k = n // 2
-        c = rng.uniform(-0.05, 0.05, (2, 3))
+        c = rng.uniform(-0.05, 0.05, (2, dims))
         pts = np.concatenate([
-            rng.normal(c[0], 0.004, (k, 3)),
-            rng.normal(c[1], 0.004, (n - k, 3)),
+            rng.normal(c[0], 0.004, (k, dims)),
+            rng.normal(c[1], 0.004, (n - k, dims)),
         ])
         pos = np.clip(pts, -0.1, 0.1)
     else:
-        pos = rng.uniform(-0.1, 0.1, (n, 3))
+        pos = rng.uniform(-0.1, 0.1, (n, dims))
     if steps:
         import jax.numpy as jnp
 
+        assert dims == 3, "steps>0 supported for dims=3 only"
         from nbody_tpu.ops.bh3d import bh3_accelerations_grouped
 
         p = jnp.asarray(pos, jnp.float32)
@@ -58,46 +59,50 @@ def _state(n, init, steps, theta):
     return masses.astype(np.float32), pos.astype(np.float32)
 
 
-def run(n, init="uniform", gs=2048, theta=0.5, dcm=None, steps=0):
-    from nbody_tpu.ops.bh3d import direct_cell_max_default
-    from nbody_tpu.ops.tree3d import (
-        build_octree,
-        default_max_depth3,
-        morton_codes_3d,
-    )
+def run(n, init="uniform", gs=2048, theta=0.5, dcm=None, steps=0,
+        dims=3):
+    if dims == 3:
+        from nbody_tpu.ops.bh3d import direct_cell_max_default
+        from nbody_tpu.ops.tree3d import (
+            build_octree as build,
+            default_max_depth3,
+        )
 
-    masses, pos = _state(n, init, steps, theta)
-    md = default_max_depth3(n)
-    dcm = dcm or direct_cell_max_default(n)
-    tree = build_octree(pos, masses, max_depth=md)
+        md_default = default_max_depth3(n)
+        dcm = dcm or direct_cell_max_default(n)
+    else:
+        from nbody_tpu.ops.tree import build_quadtree as build
+
+        md_default = 9
+        dcm = dcm or 32
+
+    masses, pos = _state(n, init, steps, theta, dims)
+    md = md_default
+    tree = build(pos, masses, max_depth=md)
     bounds = np.asarray(tree.bounds, np.float64)
     raw = [np.asarray(r, np.float32) for r in tree.raw]
-    codes = np.asarray(morton_codes_3d(pos, tree.bounds, md))
-    order = np.argsort(codes, kind="stable")
+    order = np.argsort(np.asarray(tree.codes), kind="stable")
     ps = pos[order]
     g = (n + gs - 1) // gs
     q = max(4, gs // 128)
-    sub = ps[: g * gs].reshape(g, q, gs // q, 3)
-    blo = sub.min(axis=2)  # [G, Q, 3]
+    sub = ps[: g * gs].reshape(g, q, gs // q, dims)
+    blo = sub.min(axis=2)  # [G, Q, dims]
     bhi = sub.max(axis=2)
-    glo, ghi = blo.min(axis=1), bhi.max(axis=1)  # [G, 3] group bbox
+    glo, ghi = blo.min(axis=1), bhi.max(axis=1)  # [G, dims] group bbox
 
-    lo = bounds[[0, 2, 4]]
-    hi = bounds[[1, 3, 5]]
+    lo = bounds[0::2]
+    hi = bounds[1::2]
     size_l = [(hi - lo).max() / (1 << lv) for lv in range(md + 1)]
     cell = [(hi - lo) / (1 << lv) for lv in range(md + 1)]
 
     def coords(idx, lv):
-        """De-interleave Morton cell index -> (cx, cy, cz) at level lv
-        (bit k of cx = bit 3k of idx; tree3d.morton_codes_3d packing)."""
-        cx = np.zeros_like(idx)
-        cy = np.zeros_like(idx)
-        cz = np.zeros_like(idx)
+        """De-interleave Morton cell index -> per-axis coords at level
+        lv (x = bit 0 of each dims-bit group; tree/tree3d packing)."""
+        cs = [np.zeros_like(idx) for _ in range(dims)]
         for k in range(lv):
-            cx |= ((idx >> (3 * k)) & 1) << k
-            cy |= ((idx >> (3 * k + 1)) & 1) << k
-            cz |= ((idx >> (3 * k + 2)) & 1) << k
-        return np.stack([cx, cy, cz], axis=-1)
+            for a in range(dims):
+                cs[a] |= ((idx >> (dims * k + a)) & 1) << k
+        return np.stack(cs, axis=-1)
 
     print(f"# n={n} init={init} md={md} dcm={dcm} G={g} Q={q} steps={steps}")
     print("# lvl | reach-extent(cells) | halo_lo | halo_hi | "
@@ -107,9 +112,9 @@ def run(n, init="uniform", gs=2048, theta=0.5, dcm=None, steps=0):
     for lv in range(md + 1):
         last = lv == md
         lanes = np.array([len(f) for f in frontier])
-        ext = np.zeros(3, np.int64)
-        hlo = np.full(3, -(10**9), np.int64)
-        hhi = np.full(3, -(10**9), np.int64)
+        ext = np.zeros(dims, np.int64)
+        hlo = np.full(dims, -(10**9), np.int64)
+        hhi = np.full(dims, -(10**9), np.int64)
         nxt = []
         r = raw[lv]
         for gi in range(g):
@@ -119,12 +124,12 @@ def run(n, init="uniform", gs=2048, theta=0.5, dcm=None, steps=0):
                 continue
             rows = r[idx]
             m = rows[:, 0]
-            cnt = rows[:, 7]
+            cnt = rows[:, 2 * dims + 1]
             safe = np.where(m > 0, m, 1.0)
             com = np.where(
                 (cnt == 1.0)[:, None],
-                rows[:, 4:7],
-                rows[:, 1:4] / safe[:, None],
+                rows[:, dims + 1 : 2 * dims + 1],
+                rows[:, 1 : dims + 1] / safe[:, None],
             )
             d = np.maximum(
                 np.maximum(
@@ -154,8 +159,9 @@ def run(n, init="uniform", gs=2048, theta=0.5, dcm=None, steps=0):
                 nxt.append(np.zeros(0, np.int64))
                 continue
             par = idx[open_]
-            kids = (par[:, None] * 8 + np.arange(8)).ravel()
-            kcnt = raw[lv + 1][kids, 7]
+            nk = 2**dims
+            kids = (par[:, None] * nk + np.arange(nk)).ravel()
+            kcnt = raw[lv + 1][kids, 2 * dims + 1]
             nxt.append(kids[kcnt > 0])
         frontier = nxt
         print(
