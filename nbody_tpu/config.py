@@ -180,11 +180,13 @@ class SimConfig:
     # as COMs through an extension section).  False forces whole-group
     # evaluation.
     split_eval: Optional[bool] = None
-    # 3D list-collection traversal (ops.bh3d): None = auto (currently
-    # the gather frontier walk; "dense" = the window-stencil walk of
-    # ops/collect_dense3.py — dynamic-slice spatial windows + spill,
-    # no per-level gathers).  The adaptive retry always falls back to
-    # the gather walk (4x caps widen frontiers, not windows).
+    # 3D list-collection traversal (ops.bh3d): None/"auto" = the
+    # window-stencil walk (ops/collect_dense3.py — dynamic-slice
+    # spatial windows + spill, no per-level gathers; measured 1.5x /
+    # 1.9x over the gather walk at 256K / 512K) for N >= 256K, the
+    # gather frontier walk below (it wins at 64K/128K); "gather" /
+    # "dense" force.  The adaptive retry always falls back to the
+    # gather walk (4x caps widen frontiers, not windows).
     collect3: Optional[str] = None
     # Adaptive cap retry (contract loop, barnes_hut): when a step's
     # traversal caps overflow, recompute that step from the pre-step

@@ -74,8 +74,18 @@ def frontier_peak_3d(n_bodies: int) -> int:
     distributions that beat the headroom.  The 32K clamp engages at
     N ~ 1M (a 16K clamp left 5.3% of bodies overflowing there); the
     chunked evaluator (_evaluate_pallas_3d) keeps the wide source
-    tables within HBM."""
-    return min(32768, max(2048, _pow2_ceil(int(3 * n_bodies ** (2 / 3)))))
+    tables within HBM.
+
+    The 4x multiplier (was 3x through round 4) exists for the md
+    boundary band: at N in (92K, 143K] the default tree deepens to
+    md=7 (``default_max_depth3`` crosses at 64K+1) while 3*N^(2/3)
+    still rounded to the 64K-tier 8192, and a uniform 128K cloud
+    persistently overflowed BOTH the frontier schedule and the list
+    caps on one tail group — every contract step paid the 4x adaptive
+    retry.  pow2_ceil absorbs 4x at every other scale (64K stays 8192,
+    256K stays 16384, 512K/1M stay 32768); only the squeezed band
+    moves to the 256K-tier caps, measured overflow-free there."""
+    return min(32768, max(2048, _pow2_ceil(int(4 * n_bodies ** (2 / 3)))))
 
 
 def direct_cell_max_default(n_bodies: int) -> int:
@@ -807,7 +817,7 @@ def bh3_accelerations_grouped(
 
     tree = build_octree(positions, masses, max_depth=max_depth)
     spyr = None
-    if _resolve_collect(collect) == "dense":
+    if _resolve_collect(collect, n) == "dense":
         from .collect_dense3 import build_spatial_pyramid
 
         spyr = build_spatial_pyramid(
@@ -855,11 +865,24 @@ def bh3_accelerations_grouped(
     )
 
 
-def _resolve_collect(collect: str | None) -> str:
-    """``None`` -> NBODY_COLLECT3 env (trace-time) -> "gather"."""
-    mode = collect or os.environ.get("NBODY_COLLECT3", "gather")
+# Auto gate for the dense (window-stencil) collector: measured
+# same-invocation A/Bs on the v5e (PERF.md round 5) — 256K uniform
+# 220.3 -> 145.4 ms/step (1.51x), 512K 449.0 -> 236.7 (1.90x); below
+# the gate the gather walk wins (64K 16.0 vs 17.1, 128K 64.8 vs 73.6:
+# small clouds' windows are full levels, so the extra spatial-pyramid
+# build + window lanes outweigh the few gathered rows they delete).
+DENSE_COLLECT_MIN_N = 262144
+
+
+def _resolve_collect(collect: str | None, n_sources: int) -> str:
+    """``None`` -> NBODY_COLLECT3 env (trace-time) -> auto N-gate."""
+    mode = collect or os.environ.get("NBODY_COLLECT3") or "auto"
+    if mode == "auto":
+        return "dense" if n_sources >= DENSE_COLLECT_MIN_N else "gather"
     if mode not in ("gather", "dense"):
-        raise ValueError(f"collect must be gather|dense, got {mode!r}")
+        raise ValueError(
+            f"collect must be gather|dense|auto, got {mode!r}"
+        )
     return mode
 
 
@@ -978,7 +1001,7 @@ def grouped_eval_3d(
             f"by 4 (got {gs}, {n_sub})"
         )
     use_dense = (
-        _resolve_collect(collect) == "dense"
+        _resolve_collect(collect, n_eff) == "dense"
         and spyr is not None
         and window_cells is None
     )

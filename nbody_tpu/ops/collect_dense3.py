@@ -255,7 +255,7 @@ def collect_lists_3d_dense(
     direct_cap: int,
     direct_cell_max: int,
     window_schedule: Tuple[int, ...] | None = None,
-    spill_cap: int = 16,
+    spill_cap: int | None = None,
     quarter_bits: bool = False,
 ):
     """Drop-in dense replacement for ``bh3d._collect_lists_3d`` (same
@@ -510,6 +510,15 @@ def collect_lists_3d_dense(
     overflow = ovf_a | ovf_d
 
     # ---- spill: exact gather-walk recollection of escaped groups ----
+    if spill_cap is None:
+        # measured escape censuses (CPU replay of the engine grouping,
+        # round 5): 256K two-blob = 18/128 groups (~14%), uniform = 0
+        # at every scale.  G//4 doubles the worst observed fraction;
+        # the spill pass only executes under the any-escape cond, so
+        # uniform states never pay it, and blob states pay
+        # ~spill_cap/G of one gather collect instead of a full-step
+        # adaptive retry.
+        spill_cap = max(16, g // 4)
     spill_cap = min(spill_cap, g)
     esc_rank = jnp.cumsum(escape.astype(jnp.int32)) - 1
     overflow = overflow | (escape & (esc_rank >= spill_cap))

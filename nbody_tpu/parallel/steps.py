@@ -530,7 +530,11 @@ def make_dp_barnes_hut_grouped3_step(
         all_m = jax.lax.all_gather(masses, axis, axis=0, tiled=True)
         tree = build_octree(all_pos, all_m, max_depth=depth3)
         spyr = None
-        if getattr(config, "collect3", None) == "dense":
+        from ..ops.bh3d import _resolve_collect
+
+        if _resolve_collect(
+            getattr(config, "collect3", None), config.n_bodies
+        ) == "dense":
             from ..ops.collect_dense3 import build_spatial_pyramid
 
             spyr = build_spatial_pyramid(

@@ -169,6 +169,72 @@ def test_dense_collector_spill_parity():
     assert int(np.asarray(oovf).sum()) > 0
 
 
+def test_resolve_collect_auto_gate():
+    """The auto gate ships dense at N >= 256K (measured 1.3-1.9x wins,
+    PERF.md round 5) and keeps the gather walk below (measured losses
+    at 64K/128K); explicit modes pass through; junk rejects."""
+    from nbody_tpu.ops.bh3d import DENSE_COLLECT_MIN_N, _resolve_collect
+
+    assert DENSE_COLLECT_MIN_N == 262144
+    assert _resolve_collect(None, 262144) == "dense"
+    assert _resolve_collect(None, 1048576) == "dense"
+    assert _resolve_collect(None, 262143) == "gather"
+    assert _resolve_collect(None, 65536) == "gather"
+    assert _resolve_collect("auto", 524288) == "dense"
+    assert _resolve_collect("gather", 1048576) == "gather"
+    assert _resolve_collect("dense", 1024) == "dense"
+    with pytest.raises(ValueError):
+        _resolve_collect("slabs", 65536)
+
+
+def test_spill_cap_auto_scales_with_groups():
+    """Auto spill budget = max(16, G//4): the measured blob escape
+    censuses (18/128 groups at 256K, 35/512 at 1M) exceed the old flat
+    16, which left escaped groups overflowing — and forced the 4x
+    adaptive retry on every contract step.  Tiny-window escape storm:
+    auto spill must rescue every group the explicit spill_cap=g run
+    rescues (here G//4 < g, so equality also proves the budget binds
+    only when escapes beat it)."""
+    n = 16384
+    _, _, tree, spyr, bbox, fcaps, kw, g = _setup(n, gs=512)
+    md = spyr.max_depth
+    sched = tuple((1, 2, 4, 6, 6, 6, 6, 6, 6, 6)[: md + 1])
+    _, _, ovf_auto = collect_lists_3d_dense(
+        bbox, tree, spyr, frontier_caps=fcaps,
+        window_schedule=sched, **kw
+    )
+    # here G=32, so auto = max(16, 32//4) = the 16 floor: byte-identical
+    # to an explicit 16 budget
+    _, _, ovf_16 = collect_lists_3d_dense(
+        bbox, tree, spyr, frontier_caps=fcaps,
+        window_schedule=sched, spill_cap=16, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ovf_auto), np.asarray(ovf_16)
+    )
+    # a full-G budget rescues every escape: never more overflow than auto
+    _, _, ovf_full = collect_lists_3d_dense(
+        bbox, tree, spyr, frontier_caps=fcaps,
+        window_schedule=sched, spill_cap=g, **kw
+    )
+    assert int(np.asarray(ovf_full).sum()) <= int(
+        np.asarray(ovf_auto).sum()
+    )
+
+
+def test_frontier_peak_3d_band():
+    """The 4x cap scale moves ONLY the md-boundary band (92K, 143K]
+    where a uniform 128K cloud persistently overflowed under the old
+    3x scale (PERF.md round 5); every other tier is pinned."""
+    from nbody_tpu.ops.bh3d import frontier_peak_3d
+
+    assert frontier_peak_3d(65536) == 8192
+    assert frontier_peak_3d(131072) == 16384  # was 8192: the squeeze
+    assert frontier_peak_3d(262144) == 16384
+    assert frontier_peak_3d(524288) == 32768
+    assert frontier_peak_3d(1048576) == 32768
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("blobs", [False, True])
 def test_dense_engine_accel_parity(blobs):
