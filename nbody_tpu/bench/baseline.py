@@ -543,8 +543,24 @@ def main(argv=None):
         except Exception as e:  # record the failure, keep going
             report.append({"config": c, "error": str(e)[:500]})
         print(json.dumps(report[-1]), file=sys.stderr)
-    with open(args.out, "w") as f:
+    # merge into an existing results file: a partial re-run (e.g.
+    # --configs 2,3 to refresh the TPU numbers on a quieter window)
+    # must not clobber the configs it did not run.  Atomic write —
+    # same discipline as headline.refresh_config3_record.
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prior = json.load(f)
+            report = [
+                r for r in prior if r.get("config") not in wanted
+            ] + report
+            report.sort(key=lambda r: r.get("config", 99))
+        except Exception:
+            pass  # unreadable prior file: write the fresh records
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(report, f, indent=2)
+    os.replace(tmp, args.out)
     print(json.dumps(report))
 
 

@@ -28,7 +28,7 @@ Also measures the Barnes-Hut centerpiece (grouped engine, theta=0.5,
 same N) — the two-metric stdout contract of the reference
 (project.cu:1097/1102 prints both a total and a kernel time) — reporting
 it on stderr and refreshing the config-3 record in
-``BASELINE_RESULTS_r4.json`` so the driver-captured artifact carries a
+``BASELINE_RESULTS_r5.json`` so the driver-captured artifact carries a
 driver-visible BH number next to the all-pairs one.
 
 Methodology notes (see .claude/skills/verify/SKILL.md): the remote-TPU
@@ -47,7 +47,7 @@ import os
 import sys
 import time
 
-RESULTS_PATH = "BASELINE_RESULTS_r4.json"
+RESULTS_PATH = "BASELINE_RESULTS_r5.json"
 _FORCE_CPU_ENV = "NBODY_BENCH_FORCE_CPU"
 
 
@@ -57,7 +57,7 @@ def log(*a):
 
 def _bh_headline(n, k_lo, k_hi, rng, masses, fresh, backend):
     """Grouped Barnes-Hut steps/s at the flagship N (stderr + the
-    config-3 record of BASELINE_RESULTS_r4.json)."""
+    config-3 record of BASELINE_RESULTS_r5.json)."""
     import json as _json
 
     import jax

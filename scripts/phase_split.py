@@ -17,7 +17,7 @@ import numpy as np
 G = 6.67e-11
 
 
-def split(n, dims, gs=2048, ks=(1, 3), reps=2, **kw):
+def split(n, dims, gs=2048, ks=(1, 3), reps=2, collect=None, **kw):
     rng = np.random.default_rng(0)
     masses = jnp.asarray(
         10 ** rng.uniform(-1, np.log10(0.5), n), jnp.float32
@@ -62,11 +62,27 @@ def split(n, dims, gs=2048, ks=(1, 3), reps=2, **kw):
                 ],
                 [],
             )
-            lists, ranges, ovf = _collect_lists_3d(
-                tuple(bbox), tree, theta=0.5, softening=1e-15,
-                frontier_caps=fcaps, list_cap=caps["list_cap"],
-                direct_cap=caps["direct_cap"], direct_cell_max=dcm,
-            )
+            if collect == "dense":
+                from nbody_tpu.ops.collect_dense3 import (
+                    build_spatial_pyramid,
+                    collect_lists_3d_dense,
+                )
+
+                spyr = build_spatial_pyramid(
+                    p, masses, tree.bounds, md
+                )
+                lists, ranges, ovf = collect_lists_3d_dense(
+                    tuple(bbox), tree, spyr, theta=0.5,
+                    softening=1e-15, frontier_caps=fcaps,
+                    list_cap=caps["list_cap"],
+                    direct_cap=caps["direct_cap"], direct_cell_max=dcm,
+                )
+            else:
+                lists, ranges, ovf = _collect_lists_3d(
+                    tuple(bbox), tree, theta=0.5, softening=1e-15,
+                    frontier_caps=fcaps, list_cap=caps["list_cap"],
+                    direct_cap=caps["direct_cap"], direct_cell_max=dcm,
+                )
             if depth == 1:
                 return lists[0][0, 0] + ranges[0, 0, 0].astype(jnp.float32)
             if kw.get("eval_mode") == "runs":
@@ -93,7 +109,8 @@ def split(n, dims, gs=2048, ks=(1, 3), reps=2, **kw):
             raise ValueError
 
         full = functools.partial(
-            bh3_accelerations_grouped, g=G, theta=0.5, **kw
+            bh3_accelerations_grouped, g=G, theta=0.5, collect=collect,
+            **kw
         )
     else:
         from nbody_tpu.ops.bh_grouped import (
@@ -204,7 +221,8 @@ if __name__ == "__main__":
         ks = tuple(int(x) for x in parts.pop("ks", "1:3").split(":"))
         reps = int(parts.pop("reps", 2))
         mode = parts.pop("mode", None)
+        coll = parts.pop("collect", None)
         kw = {k: int(v) for k, v in parts.items()}
         if mode:
             kw["eval_mode"] = mode
-        split(n, dims, gs=gs, ks=ks, reps=reps, **kw)
+        split(n, dims, gs=gs, ks=ks, reps=reps, collect=coll, **kw)

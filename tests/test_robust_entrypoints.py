@@ -159,6 +159,32 @@ def test_config3_refresh_is_atomic(monkeypatch, tmp_path):
     assert "tree_build_seconds" not in rec
 
 
+def test_baseline_main_merges_partial_rerun(monkeypatch, tmp_path):
+    """``baseline.main --configs 3`` into an existing results file must
+    refresh ONLY config 3: a partial re-run (refreshing the TPU configs
+    on a quieter chip window) must not clobber the records it did not
+    run, and the write is atomic (tmp + os.replace)."""
+    import json as _json
+
+    from nbody_tpu.bench import baseline
+
+    path = tmp_path / "results.json"
+    prior = [
+        {"config": 1, "pass_1e-3_at_step45_f64": True},
+        {"config": 3, "steps_per_sec": 100.0},
+        {"config": 4, "backend": "cpu-fake-8-device-mesh"},
+    ]
+    path.write_text(_json.dumps(prior))
+    monkeypatch.setattr(
+        baseline, "config3", lambda: {"config": 3, "steps_per_sec": 170.0}
+    )
+    baseline.main(["--configs", "3", "--out", str(path)])
+    report = _json.loads(path.read_text())
+    assert [r["config"] for r in report] == [1, 3, 4]
+    assert report[1]["steps_per_sec"] == 170.0  # refreshed
+    assert report[0] == prior[0] and report[2] == prior[2]  # untouched
+
+
 def test_dryrun_parent_never_touches_backend(monkeypatch):
     """The dryrun parent must not query any JAX backend (that's what
     hung MULTICHIP_r03): it re-execs a CPU-pinned child.  Simulate a
