@@ -46,7 +46,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="distance softening (project.cu:634; naive uses 0)")
     p.add_argument("--bh-mode", choices=["grouped", "exact"],
                    default="grouped")
-    p.add_argument("--group-size", type=int, default=2048)
+    p.add_argument("--group-size", type=int, default=None,
+                   help="Morton group size (default auto: 2048, except "
+                        "3D N in [256K, 768K) where 4096 measured "
+                        "1.36-1.49x faster)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", choices=["float32", "float64", "bfloat16"],
                    default="float32")

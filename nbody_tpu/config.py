@@ -153,7 +153,11 @@ class SimConfig:
     # per-thread DFS; used for parity testing and small N).  None caps =
     # auto from ops.bh_grouped.cap_defaults (measured-demand calibration).
     bh_mode: str = "grouped"
-    group_size: int = 2048
+    # None = auto Morton group size: 2048 in 2D (bh_grouped
+    # DEFAULT_GROUP_SIZE); 3D is N-gated — 4096 in the [256K, 768K)
+    # band where it measured 1.36-1.49x, 2048 elsewhere
+    # (ops.bh3d.default_group_size3, PERF.md round 5).
+    group_size: Optional[int] = None
     list_cap: Optional[int] = None
     direct_cap: Optional[int] = None
     # None = auto: 32 in 2D; N-aware in 3D (ops.bh3d

@@ -33,9 +33,9 @@ def resolved_caps(config: SimConfig) -> dict:
 
         d = cap_defaults_3d(n)
     else:
-        from ..ops.bh_grouped import cap_defaults
+        from ..ops.bh_grouped import DEFAULT_GROUP_SIZE, cap_defaults
 
-        d = cap_defaults(config.group_size, n)
+        d = cap_defaults(config.group_size or DEFAULT_GROUP_SIZE, n)
     return dict(
         frontier_cap=config.frontier_cap or d["frontier_cap"],
         list_cap=config.list_cap or d["list_cap"],

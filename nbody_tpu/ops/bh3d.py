@@ -101,6 +101,22 @@ def direct_cell_max_default(n_bodies: int) -> int:
     return 32 if n_bodies < 524288 else 128
 
 
+def default_group_size3(n_sources: int) -> int:
+    """Morton group size for the 3D grouped engine (``group_size=None``).
+
+    4096 in the [256K, 768K) band, 2048 elsewhere — same-invocation
+    slope A/Bs (PERF.md round 5): 256K uniform 151.0 -> 111.3 ms/step
+    (1.36x) and blobs 149.2 -> 100.1, 512K uniform 378.3 -> 356.1;
+    halving the group count halves the per-group window/list work the
+    dense collector and the runs evaluator pay, while per-group list
+    demand stays nearly flat (theta + geometry set it, the round-2
+    observation that moved 512 -> 2048).  1M measured 886.6 -> 1037.9
+    — a LOSS (the dcm=128 + quarter-split regime's fat direct sections
+    outgrow what the fewer, wider groups save), so the band closes at
+    the ~768K quarter-split/auto-split boundary."""
+    return 4096 if 262144 <= n_sources < 786432 else 2048
+
+
 def cap_defaults_3d(n_bodies: int) -> dict:
     peak = frontier_peak_3d(n_bodies)
     dcm = direct_cell_max_default(n_bodies)
@@ -783,7 +799,7 @@ def bh3_accelerations_grouped(
     theta: float = THETA_DEFAULT,
     max_depth: int | None = None,
     softening: float = BH_SOFTENING,
-    group_size: int = 2048,
+    group_size: int | None = None,
     frontier_cap: int | None = None,
     list_cap: int | None = None,
     direct_cap: int | None = None,
@@ -805,15 +821,18 @@ def bh3_accelerations_grouped(
     """Grouped 3D Barnes-Hut accelerations [N, 3] (+ overflow [N]).
 
     ``None`` caps resolve from :func:`cap_defaults_3d`; ``max_depth``
-    defaults from :func:`tree3d.default_max_depth3` (bodies/leaf ~ 1).
+    defaults from :func:`tree3d.default_max_depth3` (bodies/leaf ~ 1);
+    ``group_size=None`` resolves from :func:`default_group_size3`.
     ``collect`` picks the list-collection traversal: ``"gather"`` (the
-    frontier walk) or ``"dense"`` (window-stencil,
-    ops/collect_dense3.py); ``None`` reads ``NBODY_COLLECT3`` and
-    defaults to gather."""
+    frontier walk), ``"dense"`` (window-stencil, ops/collect_dense3.py)
+    or ``None``/``"auto"`` (reads ``NBODY_COLLECT3``, then the measured
+    N-gate: dense at N >= 256K, gather below)."""
     n = positions.shape[0]
     f32 = positions.dtype
     if max_depth is None:
         max_depth = default_max_depth3(n)
+    if group_size is None:
+        group_size = default_group_size3(n)
 
     tree = build_octree(positions, masses, max_depth=max_depth)
     spyr = None
@@ -894,7 +913,7 @@ def grouped_eval_3d(
     g: float,
     theta: float = THETA_DEFAULT,
     softening: float = BH_SOFTENING,
-    group_size: int = 2048,
+    group_size: int | None = None,
     frontier_cap: int | None = None,
     list_cap: int | None = None,
     direct_cap: int | None = None,
@@ -934,6 +953,8 @@ def grouped_eval_3d(
 
     n_eff = n_sources_hint if n_sources_hint else ns
     defaults = cap_defaults_3d(n_eff)
+    if group_size is None:
+        group_size = default_group_size3(n_eff)
     if direct_cell_max is None:
         direct_cell_max = direct_cell_max_default(n_eff)
     frontier_cap = frontier_cap or defaults["frontier_cap"]

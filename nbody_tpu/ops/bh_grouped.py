@@ -77,6 +77,16 @@ def frontier_peak(n_bodies: int) -> int:
     return min(8192, max(1024, _pow2_ceil(int(4 * n_bodies**0.5))))
 
 
+# 2D default Morton group size (``group_size=None``).  2048 at every N:
+# the round-2 A/B moved 512 -> 2048 (fewer groups = proportionally fewer
+# per-level gathers, accuracy IMPROVES — conservative opening only ever
+# opens more); a 4096 probe is only measured in 3D where it wins in the
+# [256K, 768K) band (bh3d.default_group_size3) — 2D headline scales
+# (40,960-64K) would drop to 10-16 groups and starve the group_chunk
+# pipeline.
+DEFAULT_GROUP_SIZE = 2048
+
+
 def cap_defaults(group_size: int, n_bodies: int) -> dict:
     """Interaction-list cap defaults, calibrated on measured per-group
     demand (scripts/demand.py; uniform + two-blob collapsed
@@ -1075,7 +1085,7 @@ def bh_accelerations_grouped(
     theta: float = THETA_DEFAULT,
     max_depth: int = MAX_DEPTH_DEFAULT,
     softening: float = BH_SOFTENING,
-    group_size: int = 2048,
+    group_size: int | None = None,
     frontier_cap: int | None = None,
     list_cap: int | None = None,
     direct_cap: int | None = None,
@@ -1150,7 +1160,7 @@ def grouped_eval(
     g: float,
     theta: float = THETA_DEFAULT,
     softening: float = BH_SOFTENING,
-    group_size: int = 2048,
+    group_size: int | None = None,
     frontier_cap: int | None = None,
     list_cap: int | None = None,
     direct_cap: int | None = None,
@@ -1209,6 +1219,8 @@ def grouped_eval(
     n = target_positions.shape[0]
     f32 = target_positions.dtype
 
+    if group_size is None:
+        group_size = DEFAULT_GROUP_SIZE
     # caps scale with the SOURCE cloud size (density sets demand)
     defaults = cap_defaults(
         group_size,

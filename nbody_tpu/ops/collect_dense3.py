@@ -512,13 +512,19 @@ def collect_lists_3d_dense(
     # ---- spill: exact gather-walk recollection of escaped groups ----
     if spill_cap is None:
         # measured escape censuses (CPU replay of the engine grouping,
-        # round 5): 256K two-blob = 18/128 groups (~14%), uniform = 0
-        # at every scale.  G//4 doubles the worst observed fraction;
-        # the spill pass only executes under the any-escape cond, so
+        # round 5): 256K two-blob = 18 groups at gs=2048 and 17 at
+        # gs=4096, 1M = 35 at gs=2048; uniform = 0 at every scale.
+        # The escape COUNT is ~constant in G (blob geometry sets it,
+        # not the group count — fatter groups have wider bboxes but
+        # there are proportionally fewer of them), so the budget needs
+        # an absolute floor: 48 ~= 2.7x the worst observed count
+        # (a G//4-only budget was off by one at G=64: 16 < 17, and one
+        # escaped group forced the 4x adaptive retry on every step).
+        # The spill pass only executes under the any-escape cond, so
         # uniform states never pay it, and blob states pay
         # ~spill_cap/G of one gather collect instead of a full-step
         # adaptive retry.
-        spill_cap = max(16, g // 4)
+        spill_cap = max(48, g // 4)
     spill_cap = min(spill_cap, g)
     esc_rank = jnp.cumsum(escape.astype(jnp.int32)) - 1
     overflow = overflow | (escape & (esc_rank >= spill_cap))

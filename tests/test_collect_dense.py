@@ -187,14 +187,15 @@ def test_resolve_collect_auto_gate():
         _resolve_collect("slabs", 65536)
 
 
-def test_spill_cap_auto_scales_with_groups():
-    """Auto spill budget = max(16, G//4): the measured blob escape
-    censuses (18/128 groups at 256K, 35/512 at 1M) exceed the old flat
-    16, which left escaped groups overflowing — and forced the 4x
-    adaptive retry on every contract step.  Tiny-window escape storm:
-    auto spill must rescue every group the explicit spill_cap=g run
-    rescues (here G//4 < g, so equality also proves the budget binds
-    only when escapes beat it)."""
+def test_spill_cap_auto_has_absolute_floor():
+    """Auto spill budget = max(48, G//4), clamped to G: the measured
+    blob escape COUNT is ~constant in G (blob geometry sets it — 18
+    groups at 256K/gs=2048, 17 at 256K/gs=4096, 35 at 1M), so a
+    G-proportional-only budget under-provisions exactly when groups
+    get fatter (G//4 = 16 < 17 at G=64 forced the 4x adaptive retry on
+    every contract step).  Tiny-window escape storm: the clamped auto
+    budget (G=32 here, so min(48, G) = G) must rescue every group the
+    explicit spill_cap=g run rescues."""
     n = 16384
     _, _, tree, spyr, bbox, fcaps, kw, g = _setup(n, gs=512)
     md = spyr.max_depth
@@ -203,21 +204,21 @@ def test_spill_cap_auto_scales_with_groups():
         bbox, tree, spyr, frontier_caps=fcaps,
         window_schedule=sched, **kw
     )
-    # here G=32, so auto = max(16, 32//4) = the 16 floor: byte-identical
-    # to an explicit 16 budget
-    _, _, ovf_16 = collect_lists_3d_dense(
-        bbox, tree, spyr, frontier_caps=fcaps,
-        window_schedule=sched, spill_cap=16, **kw
-    )
-    np.testing.assert_array_equal(
-        np.asarray(ovf_auto), np.asarray(ovf_16)
-    )
-    # a full-G budget rescues every escape: never more overflow than auto
+    # here G=32 < the 48 floor, so auto clamps to a full-G budget:
+    # byte-identical to an explicit spill_cap=g run
     _, _, ovf_full = collect_lists_3d_dense(
         bbox, tree, spyr, frontier_caps=fcaps,
         window_schedule=sched, spill_cap=g, **kw
     )
-    assert int(np.asarray(ovf_full).sum()) <= int(
+    np.testing.assert_array_equal(
+        np.asarray(ovf_auto), np.asarray(ovf_full)
+    )
+    # an under-floor explicit budget can only leave MORE overflow
+    _, _, ovf_4 = collect_lists_3d_dense(
+        bbox, tree, spyr, frontier_caps=fcaps,
+        window_schedule=sched, spill_cap=4, **kw
+    )
+    assert int(np.asarray(ovf_4).sum()) >= int(
         np.asarray(ovf_auto).sum()
     )
 
@@ -233,6 +234,22 @@ def test_frontier_peak_3d_band():
     assert frontier_peak_3d(262144) == 16384
     assert frontier_peak_3d(524288) == 32768
     assert frontier_peak_3d(1048576) == 32768
+
+
+def test_default_group_size3_band():
+    """group_size=None resolves 4096 exactly in the [256K, 768K) band
+    (same-invocation A/Bs, PERF.md round 5: 256K uniform 1.36x, blobs
+    1.49x, 512K 1.06x; 1M measured a LOSS so the band closes at the
+    quarter-split boundary) and 2048 everywhere else."""
+    from nbody_tpu.ops.bh3d import default_group_size3
+
+    assert default_group_size3(65536) == 2048
+    assert default_group_size3(262143) == 2048
+    assert default_group_size3(262144) == 4096
+    assert default_group_size3(524288) == 4096
+    assert default_group_size3(786431) == 4096
+    assert default_group_size3(786432) == 2048
+    assert default_group_size3(1048576) == 2048
 
 
 @pytest.mark.slow
